@@ -1,0 +1,119 @@
+"""Utility layer: seeds, devices, caches, and token→word merge arithmetic.
+
+TPU-native counterpart of reference ``daam/utils.py``.  The key behavioral
+contract is :func:`compute_token_merge_indices` (reference ``daam/utils.py:73-91``):
+lowercase tokenization, ``</w>`` marker stripping, *all-occurrence* subword-run
+matching, and the +1 shift that accounts for the SOS token in the 77-token heat
+map.  Seeding returns an explicit ``jax.random.PRNGKey`` instead of mutating
+global RNG state (functional JAX idiom replacing ``torch.Generator``,
+reference ``daam/utils.py:46-55``).
+"""
+
+from functools import lru_cache
+from pathlib import Path
+from typing import List, Optional, Tuple
+import os
+import random
+import sys
+
+import numpy as np
+
+from .nlp import cached_nlp  # re-exported for API parity with reference utils
+
+__all__ = ['set_seed', 'compute_token_merge_indices', 'plot_mask_heat_map',
+           'cached_nlp', 'cache_dir', 'auto_device', 'auto_autocast']
+
+
+def auto_device(obj=None):
+    """Return the preferred JAX device (TPU if present, else CPU), or commit an
+    array to it.  Functional analog of reference ``daam/utils.py:22-29``."""
+    import jax
+
+    devices = jax.devices()
+    dev = devices[0]
+    if obj is None:
+        return dev
+    return jax.device_put(obj, dev)
+
+
+class auto_autocast:
+    """No-op context manager kept for API parity (reference ``daam/utils.py:32-36``).
+
+    JAX handles mixed precision explicitly through dtypes; there is no global
+    autocast state to toggle.  Accepts and ignores the torch-style arguments.
+    """
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def set_seed(seed: int):
+    """Seed Python/NumPy RNGs and return a fresh ``jax.random.PRNGKey``.
+
+    The returned key plays the role of the reference's ``torch.Generator``
+    (reference ``daam/utils.py:46-55``): pass it to pipeline calls for
+    reproducible sampling.
+    """
+    import jax
+
+    random.seed(seed)
+    np.random.seed(seed & 0xFFFFFFFF)
+    return jax.random.PRNGKey(seed)
+
+
+def cache_dir() -> Path:
+    """Per-OS cache directory (same layout as reference ``daam/utils.py:58-70``)."""
+    if os.name == 'posix' and sys.platform != 'darwin':
+        xdg = os.environ.get('XDG_CACHE_HOME', os.path.expanduser('~/.cache'))
+        return Path(xdg, 'daam_tpu')
+    elif sys.platform == 'darwin':
+        return Path(os.path.expanduser('~'), 'Library/Caches/daam_tpu')
+    else:
+        local = os.environ.get('LOCALAPPDATA', None) \
+            or os.path.expanduser('~\\AppData\\Local')
+        return Path(local, 'daam_tpu')
+
+
+def compute_token_merge_indices(tokenizer, prompt: str, word: str,
+                                word_idx: Optional[int] = None,
+                                offset_idx: int = 0) -> Tuple[List[int], Optional[int]]:
+    """Map a word to the token indices it occupies in the padded prompt encoding.
+
+    Semantics mirror reference ``daam/utils.py:73-91`` exactly: the prompt and
+    word are lowercased and tokenized, ``</w>`` subword markers stripped, every
+    occurrence of the word's token run is matched, and all indices are shifted
+    by +1 for the SOS token.  Raises ``ValueError`` if the word is absent.
+    """
+    merge_idxs: List[int] = []
+    tokens = tokenizer.tokenize(prompt.lower())
+    tokens = [x.replace('</w>', '') for x in tokens]
+
+    if word_idx is None:
+        word = word.lower()
+        search_tokens = [x.replace('</w>', '') for x in tokenizer.tokenize(word)]
+        start_indices = [x + offset_idx for x in range(len(tokens))
+                         if tokens[x:x + len(search_tokens)] == search_tokens]
+        for start in start_indices:
+            merge_idxs += [i + start for i in range(len(search_tokens))]
+        if not merge_idxs:
+            raise ValueError(f'Search word {word} not found in prompt!')
+    else:
+        merge_idxs.append(word_idx)
+
+    return [x + 1 for x in merge_idxs], word_idx
+
+
+def plot_mask_heat_map(im, heat_map, threshold: float = 0.4):
+    """Plot the image masked by ``heat_map > threshold``
+    (reference ``daam/utils.py:39-43``)."""
+    import matplotlib.pyplot as plt
+
+    im = np.asarray(im, dtype=np.float32) / 255
+    mask = (np.squeeze(np.asarray(heat_map)) > threshold).astype(np.float32)
+    plt.imshow(im * mask[..., None])

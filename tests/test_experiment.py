@@ -1,0 +1,121 @@
+import numpy as np
+import PIL.Image
+import pytest
+
+from daam_tpu.experiment import (GenerationExperiment, COCO80_LABELS,
+                                 COCO80_INDICES, COCOSTUFF27_LABELS,
+                                 build_word_list_coco80, COCO80_TO_27)
+from daam_tpu.tokenization import HashWordTokenizer
+
+
+@pytest.fixture
+def exp(tmp_path):
+    img = PIL.Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (64, 64, 3), dtype=np.uint8))
+    heat = np.random.RandomState(1).rand(77, 16, 16).astype(np.float32)
+    return GenerationExperiment(
+        image=img, global_heat_map=heat, prompt='a dog runs', seed=42,
+        id='exp1', path=tmp_path, tokenizer=HashWordTokenizer())
+
+
+def test_save_writes_reference_artifact_set(exp):
+    exp.save(heat_maps=True)
+    d = exp.path
+    assert (d / 'generation.pt').exists()
+    assert (d / 'output.png').exists()
+    assert (d / 'prompt.txt').read_text() == 'a dog runs'
+    assert (d / 'seed.txt').read_text() == '42'
+    # per-word heat maps (README contract)
+    assert (d / 'dog.heat_map.png').exists()
+    assert (d / 'a.heat_map.png').exists()
+
+
+def test_save_load_roundtrip(exp, tmp_path):
+    exp.save()
+    loaded = GenerationExperiment.load(tmp_path / 'exp1')
+    assert loaded.prompt == 'a dog runs'
+    assert loaded.seed == 42
+    np.testing.assert_allclose(np.asarray(loaded.global_heat_map),
+                               np.asarray(exp.global_heat_map), rtol=1e-6)
+    np.testing.assert_array_equal(np.array(loaded.image), np.array(exp.image))
+
+
+def test_truth_masks_roundtrip(exp, tmp_path):
+    mask = np.zeros((64, 64), dtype=np.float32)
+    mask[10:30, 10:30] = 1
+    exp.truth_masks = {'dog': mask}
+    exp.save()
+    loaded = GenerationExperiment.load(tmp_path / 'exp1')
+    assert 'dog' in loaded.truth_masks
+    np.testing.assert_array_equal(loaded.truth_masks['dog'], mask)
+
+
+def test_pred_masks_roundtrip(exp, tmp_path):
+    exp.save()
+    mask = np.zeros((64, 64), dtype=np.float32)
+    mask[5:20, 5:20] = 1
+    exp.save_prediction_mask(mask, 'Dog', 'daam')
+    loaded = GenerationExperiment.load(tmp_path / 'exp1')
+    assert 'dog' in loaded.prediction_masks
+    np.testing.assert_array_equal(loaded.prediction_masks['dog'], mask)
+    loaded.clear_prediction_masks('daam')
+    loaded2 = GenerationExperiment.load(tmp_path / 'exp1')
+    assert 'dog' not in loaded2.prediction_masks
+
+
+def test_annotations(exp, tmp_path):
+    exp.annotate('k', [1, 2]).save()
+    assert GenerationExperiment.has_annotations(tmp_path / 'exp1')
+    loaded = GenerationExperiment.load(tmp_path / 'exp1')
+    assert loaded.annotations == {'k': [1, 2]}
+
+
+def test_static_probes(exp, tmp_path):
+    exp.save()
+    assert GenerationExperiment.has_experiment(tmp_path, 'exp1')
+    assert GenerationExperiment.read_seed(tmp_path, 'exp1') == 42
+    assert GenerationExperiment.read_prompt(tmp_path, 'exp1') == 'a dog runs'
+    assert not GenerationExperiment.contains_truth_mask(tmp_path / 'exp1')
+
+
+def test_clear_checkpoint(exp):
+    exp.save()
+    exp.clear_checkpoint()
+    assert not (exp.path / 'generation.pt').exists()
+    assert (exp.path / 'output.png').exists()
+
+
+def test_nsfw_black_image(tmp_path):
+    img = PIL.Image.fromarray(np.zeros((8, 8, 3), dtype=np.uint8))
+    e = GenerationExperiment(image=img, global_heat_map=np.zeros((77, 4, 4)),
+                             prompt='x', path=tmp_path)
+    assert e.nsfw()
+
+
+def test_heat_map_reconstruction(exp):
+    ghm = exp.heat_map()
+    whm = ghm.compute_word_heat_map('dog')
+    assert np.asarray(whm.value).shape == (16, 16)
+
+
+def test_coco_tables():
+    assert len(COCO80_LABELS) == 80
+    assert COCO80_INDICES['dog'] == 16
+    assert len(COCOSTUFF27_LABELS) == 27
+    assert COCO80_TO_27['dog'] == 'animal'
+    leafs = build_word_list_coco80()
+    assert 'pets' in leafs
+    assert 'vehicle' not in leafs  # has ontology children -> not leaf-only
+    assert all(all(w not in leafs or True for w in v) for v in leafs.values())
+
+
+def test_all_subtypes_load(tmp_path):
+    img = PIL.Image.new('RGB', (16, 16))
+    heat = np.zeros((77, 8, 8), dtype=np.float32)
+    for st in ('s1', 's2'):
+        e = GenerationExperiment(image=img, global_heat_map=heat, prompt='p',
+                                 id='multi', path=tmp_path, subtype=st)
+        e.save()
+    loaded = GenerationExperiment.load(tmp_path / 'multi', all_subtypes=True)
+    assert len(loaded) == 2
+    assert {e.subtype for e in loaded} == {'s1', 's2'}
