@@ -1,0 +1,98 @@
+"""Benchmark harness: traced vs untraced Stable Diffusion throughput on TPU.
+
+Measures the north-star metric (BASELINE.json): imgs/sec/chip for traced
+generation, with ``vs_baseline`` = traced/untraced throughput ratio (the
+tracing-overhead target is ≥ 0.95).  The reference publishes no numbers
+(BASELINE.md), so the untraced run on the same hardware IS the baseline.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Flags: --model (default v2-1-base), --steps, --batch, --reps, --image-size.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def run_config(pipe, prompt, steps, batch, traced, reps, height, width, key):
+    """Median wall-clock seconds per pipeline call."""
+    from daam_tpu import trace
+
+    prompts = [prompt] * batch if batch > 1 else prompt
+
+    def one_call():
+        return pipe(prompts, num_inference_steps=steps, generator=key,
+                    height=height, width=width, output_type='np')
+
+    times = []
+    if traced:
+        with trace(pipe) as tc:
+            one_call()  # compile
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                one_call()
+                # Force materialization of maps too (they are part of the
+                # traced deliverable).
+                tc.compute_global_heat_map()
+                times.append(time.perf_counter() - t0)
+    else:
+        one_call()  # compile
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            one_call()
+            times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--model', default='v2-1-base')
+    parser.add_argument('--steps', type=int, default=10)
+    parser.add_argument('--batch', type=int, default=1)
+    parser.add_argument('--reps', type=int, default=3)
+    parser.add_argument('--image-size', type=int, default=None)
+    parser.add_argument('--dtype', default='bfloat16')
+    parser.add_argument('--scheduler', default='ddim')
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from daam_tpu.pipeline.sd import StableDiffusionPipeline
+    from daam_tpu.utils import set_seed
+
+    dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
+    pipe = StableDiffusionPipeline.from_pretrained(
+        args.model, scheduler=args.scheduler, dtype=dtype)
+    size = args.image_size or pipe.config.image_size
+    key = set_seed(0)
+    prompt = 'A dog runs across the field'
+
+    n_chips = jax.device_count()
+    t_untraced = run_config(pipe, prompt, args.steps, args.batch, False,
+                            args.reps, size, size, key)
+    t_traced = run_config(pipe, prompt, args.steps, args.batch, True,
+                          args.reps, size, size, key)
+
+    imgs_per_sec_traced = args.batch / t_traced / n_chips
+    ratio = t_untraced / t_traced  # >= 0.95 target
+
+    print(json.dumps({
+        'metric': f'{args.model}_traced_imgs_per_sec_per_chip_{args.steps}steps',
+        'value': round(imgs_per_sec_traced, 5),
+        'unit': 'imgs/sec/chip',
+        'vs_baseline': round(ratio, 4),
+    }))
+    # Supplementary details on stderr (driver reads only the stdout line).
+    print(f'untraced: {t_untraced:.3f}s/call  traced: {t_traced:.3f}s/call  '
+          f'overhead: {(t_traced / t_untraced - 1) * 100:.2f}%  '
+          f'chips: {n_chips}  size: {size}  steps: {args.steps}',
+          file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,7 +1,8 @@
 """daam_tpu — TPU-native diffusion attentive attribution maps.
 
 Public API mirrors the reference DAAM package (``daam/__init__.py:1-6``): the
-union of the heat-map, trace, experiment, evaluation, and utility surfaces.
+union of the heat-map, trace, hook, experiment, evaluation, and utility
+surfaces, plus the TPU-native pipeline/model/parallel layers.
 """
 
 from ._version import __version__  # noqa: F401
@@ -10,11 +11,16 @@ from .evaluate import *  # noqa: F401,F403
 from .experiment import *  # noqa: F401,F403
 from .heatmap import *  # noqa: F401,F403
 from .tokenization import *  # noqa: F401,F403
+from .hook import *  # noqa: F401,F403
+from .trace import *  # noqa: F401,F403
 
-# Heavier layers (models/pipeline/trace) import jax/flax; they are part of the
-# public API but imported lazily-tolerant so the pure layers work standalone.
-try:  # pragma: no cover - exercised implicitly
-    from .hook import *  # noqa: F401,F403
-    from .trace import *  # noqa: F401,F403
-except ImportError:  # jax/flax missing
-    pass
+
+def __getattr__(name):
+    """Lazy access to the heavier pipeline/model layers."""
+    if name in ('StableDiffusionPipeline', 'PipelineOutput'):
+        from .pipeline import sd
+        return getattr(sd, name)
+    if name == 'StableDiffusionXLPipeline':
+        from .pipeline.sdxl import StableDiffusionXLPipeline
+        return StableDiffusionXLPipeline
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

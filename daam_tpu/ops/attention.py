@@ -1,0 +1,108 @@
+"""Attention ops: the compute core of the traced UNet.
+
+Two ops matter for DAAM-on-TPU:
+
+* :func:`self_attention` — the UNet's spatial self-attention (``attn1``).  The
+  hot FLOPs.  Dispatches to a Pallas flash-attention kernel on TPU (no
+  materialized QKᵀ) and a plain jnp path elsewhere.
+* :func:`cross_attention` — text cross-attention (``attn2``), the layer DAAM
+  instruments (reference recomputes and materializes the full probability
+  tensor via ``attn.get_attention_scores``, ``daam/trace.py:276``).  Here the
+  per-token probability map is a fused *side output*: when ``capture`` is on,
+  the op also returns the conditional-half attention probabilities shaped for
+  heat-map accumulation, and supports feeding back a replay buffer (the
+  ``save_heads``/``load_heads`` transplant mechanism, ``daam/trace.py:279-282``).
+
+All inputs are multi-head shaped ``(B, H, L, head_dim)``.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['self_attention', 'cross_attention', 'attention_probs_reference']
+
+# Kernel dispatch mode: 'auto' | 'jnp' | 'pallas'.  Tests flip this.
+_KERNEL_MODE = 'auto'
+
+
+def set_kernel_mode(mode: str):
+    global _KERNEL_MODE
+    assert mode in ('auto', 'jnp', 'pallas')
+    _KERNEL_MODE = mode
+
+
+def get_kernel_mode() -> str:
+    return _KERNEL_MODE
+
+
+def _use_pallas(q_len: int, k_len: int, head_dim: int) -> bool:
+    if _KERNEL_MODE == 'jnp':
+        return False
+    try:
+        on_tpu = jax.default_backend() in ('tpu', 'axon')
+    except RuntimeError:
+        on_tpu = False
+    if _KERNEL_MODE == 'pallas':
+        return True
+    # auto: pallas only where it wins — long sequences, MXU-aligned head dims.
+    return on_tpu and q_len >= 1024 and head_dim % 64 == 0
+
+
+def attention_probs_reference(q: jnp.ndarray, k: jnp.ndarray,
+                              scale: Optional[float] = None) -> jnp.ndarray:
+    """Softmax attention probabilities, fp32 — the numeric reference the
+    Pallas side-output is gated against (≥0.99 Spearman, BASELINE.md)."""
+    head_dim = q.shape[-1]
+    scale = head_dim ** -0.5 if scale is None else scale
+    scores = jnp.einsum('bhqd,bhkd->bhqk', q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def _jnp_attention(q, k, v, scale):
+    probs = attention_probs_reference(q, k, scale)
+    return jnp.einsum('bhqk,bhkd->bhqd', probs.astype(v.dtype), v), probs
+
+
+def self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Spatial self-attention ``softmax(QKᵀ/√d)V``; flash kernel on TPU."""
+    if _use_pallas(q.shape[2], k.shape[2], q.shape[3]):
+        from .pallas_attention import flash_self_attention
+        return flash_self_attention(q, k, v)
+    out, _ = _jnp_attention(q, k, v, q.shape[-1] ** -0.5)
+    return out
+
+
+def cross_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    capture: bool = False,
+    replay_probs: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Text cross-attention with optional probability side-output / replay.
+
+    Returns ``(out, probs)`` where ``probs`` is the full fp32 probability
+    tensor ``(B, H, Lq, Lk)`` when ``capture`` (else ``None``).  When
+    ``replay_probs`` is given, it *replaces* the computed probabilities before
+    the value contraction — the attention-transplant counterfactual
+    (reference ``daam/trace.py:281-282``) — and is also what gets captured.
+    """
+    scale = q.shape[-1] ** -0.5
+    if replay_probs is not None:
+        probs = replay_probs.astype(jnp.float32)
+        out = jnp.einsum('bhqk,bhkd->bhqd', probs.astype(v.dtype), v)
+        return out, (probs if capture else None)
+
+    if capture and _use_pallas(q.shape[2], k.shape[2], q.shape[3]):
+        from .pallas_attention import cross_attention_probs
+        return cross_attention_probs(q, k, v)
+
+    if capture or not _use_pallas(q.shape[2], k.shape[2], q.shape[3]):
+        out, probs = _jnp_attention(q, k, v, scale)
+        return out, (probs if capture else None)
+
+    from .pallas_attention import flash_self_attention
+    return flash_self_attention(q, k, v), None

@@ -1,0 +1,184 @@
+"""Pallas TPU attention kernels.
+
+Two kernels, the performance core of the traced UNet (SURVEY.md §7):
+
+* :func:`flash_self_attention` — spatial self-attention without materializing
+  the (L, L) score matrix in HBM.  For SD's spatial lengths (≤ 4096 queries)
+  the whole K/V block of one (batch, head) fits in VMEM, so each grid step
+  computes one query tile's scores, softmax, and value contraction entirely
+  on-chip: HBM sees only Q, K, V, O.  XLA alone would materialize
+  softmax(QKᵀ) — ~67 MB per (head, layer) at 64², round-tripped twice.
+
+* :func:`cross_attention_probs` — text cross-attention that emits the
+  softmax probabilities as a fused side-output in one pass.  This is the
+  kernel form of DAAM's capture: the reference recomputes attention outside
+  the model to get the probs (``daam/trace.py:262-276``); here O and P come
+  out of the same on-chip softmax.
+
+Both fall back to interpret mode off-TPU (tests run them on CPU).
+"""
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['flash_self_attention', 'cross_attention_probs']
+
+
+def _interpret() -> bool:
+    try:
+        return jax.default_backend() not in ('tpu', 'axon')
+    except RuntimeError:
+        return True
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# flash self-attention
+# ---------------------------------------------------------------------------
+
+def _self_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_valid: int):
+    q = q_ref[0]            # (TQ, hd)
+    k = k_ref[0]            # (L, hd)
+    v = v_ref[0]            # (L, hd)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if l_valid != k.shape[0]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < l_valid, s, -jnp.inf)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('q_tile',))
+def flash_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         q_tile: int = 256) -> jnp.ndarray:
+    """softmax(QKᵀ/√d)V over (B, H, L, hd) without HBM score materialization."""
+    B, H, L, hd = q.shape
+    Lk = k.shape[2]
+    scale = hd ** -0.5
+
+    qf = q.reshape(B * H, L, hd)
+    kf = k.reshape(B * H, Lk, hd)
+    vf = v.reshape(B * H, Lk, hd)
+
+    # Pad the query length to a tile multiple (extra rows are garbage we slice
+    # off; they can't poison real rows since softmax is row-wise).
+    TQ = min(q_tile, _round_up(L, 8))
+    L_pad = _round_up(L, TQ)
+    if L_pad != L:
+        qf = jnp.pad(qf, ((0, 0), (0, L_pad - L), (0, 0)))
+
+    grid = (B * H, L_pad // TQ)
+    out = pl.pallas_call(
+        functools.partial(_self_attn_kernel, scale=scale, l_valid=Lk),
+        out_shape=jax.ShapeDtypeStruct((B * H, L_pad, hd), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TQ, hd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TQ, hd), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(qf, kf, vf)
+
+    return out[:, :L].reshape(B, H, L, hd)
+
+
+# ---------------------------------------------------------------------------
+# cross-attention with fused probability side-output
+# ---------------------------------------------------------------------------
+
+def _cross_attn_kernel(q_ref, k_ref, v_ref, o_ref, p_ref, *, scale: float,
+                       lk_valid: int):
+    q = q_ref[0]            # (TQ, hd)
+    k = k_ref[0]            # (LK_pad, hd)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < lk_valid, s, -jnp.inf)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+    p_ref[0] = p.astype(p_ref.dtype)
+    o_ref[0] = jax.lax.dot_general(p.astype(v.dtype), v,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('q_tile',))
+def cross_attention_probs(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          q_tile: int = 512
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-attention returning ``(O, P)`` in one fused pass.
+
+    ``q``: (B, H, Lq, hd); ``k``/``v``: (B, H, Lk, hd) with Lk = text length
+    (77).  ``P`` comes back as (B, H, Lq, Lk) fp32 — the DAAM capture tensor.
+    """
+    B, H, Lq, hd = q.shape
+    Lk = k.shape[2]
+    scale = hd ** -0.5
+
+    LK_pad = _round_up(Lk, 128)
+    qf = q.reshape(B * H, Lq, hd)
+    kf = jnp.pad(k.reshape(B * H, Lk, hd), ((0, 0), (0, LK_pad - Lk), (0, 0)))
+    vf = jnp.pad(v.reshape(B * H, Lk, hd), ((0, 0), (0, LK_pad - Lk), (0, 0)))
+
+    TQ = min(q_tile, _round_up(Lq, 8))
+    L_pad = _round_up(Lq, TQ)
+    if L_pad != Lq:
+        qf = jnp.pad(qf, ((0, 0), (0, L_pad - Lq), (0, 0)))
+
+    grid = (B * H, L_pad // TQ)
+    out, probs = pl.pallas_call(
+        functools.partial(_cross_attn_kernel, scale=scale, lk_valid=Lk),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, L_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((B * H, L_pad, LK_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TQ, hd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LK_pad, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LK_pad, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TQ, hd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, LK_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf)
+
+    out = out[:, :Lq].reshape(B, H, Lq, hd)
+    probs = probs[:, :Lq, :Lk].reshape(B, H, Lq, Lk)
+    return out, probs

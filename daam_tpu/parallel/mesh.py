@@ -1,0 +1,129 @@
+"""Device-mesh parallelism for batched traced generation.
+
+The reference is strictly single-device and even rejects batched prompts
+(reference ``daam/trace.py:172-173``, ``daam/utils.py:22-29``).  The TPU-native
+scale-out story (SURVEY.md §2 "parallelism") is:
+
+* **data parallelism** — the batch axis of a traced generation shards over the
+  mesh's ``data`` axis; per-sample heat-map accumulators are device-local, so
+  the only cross-device traffic is the initial shard and the final gather,
+  riding ICI.
+* **tensor parallelism** — attention heads shard over the ``model`` axis via
+  GSPMD sharding constraints applied inside the UNet's attention (head axis of
+  Q/K/V); XLA inserts the reduce-scatter/all-gather collectives.
+
+Mechanism: ``use_mesh(mesh)`` activates a mesh for the enclosing scope;
+:func:`constraint` becomes ``lax.with_sharding_constraint`` under that mesh and
+a no-op otherwise, so the same model code runs single-chip and multi-chip.
+"""
+
+import contextlib
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ['make_mesh', 'use_mesh', 'get_active_mesh', 'constraint',
+           'replicate_params', 'generate_batch']
+
+_ACTIVE_MESH = None
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None):
+    """Build a ``Mesh`` with ``('data', 'model')`` axes.
+
+    ``dp`` defaults to ``len(devices) // tp``.  ``tp`` shards attention heads;
+    it must divide the smallest head count of the model you plan to run.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    devices = list(devices if devices is not None else jax.devices())
+    if dp is None:
+        dp = len(devices) // tp
+    assert dp * tp <= len(devices), (dp, tp, len(devices))
+    arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ('data', 'model'))
+
+
+def get_active_mesh():
+    return _ACTIVE_MESH
+
+
+@contextlib.contextmanager
+def use_mesh(mesh):
+    """Activate a mesh: sharding constraints in the model become live and
+    jitted pipeline programs compile as SPMD programs over it."""
+    global _ACTIVE_MESH
+    import jax
+
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        with jax.set_mesh(mesh):
+            yield mesh
+    finally:
+        _ACTIVE_MESH = prev
+
+
+def constraint(x, *spec):
+    """``with_sharding_constraint(x, PartitionSpec(*spec))`` under an active
+    mesh; identity otherwise.  Axis names absent from the mesh are dropped."""
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return x
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    names = set(mesh.axis_names)
+
+    def keep(s):
+        if s is None:
+            return None
+        if isinstance(s, (tuple, list)):
+            kept = tuple(x_ for x_ in s if x_ in names)
+            return kept if kept else None
+        return s if s in names else None
+
+    cleaned = PartitionSpec(*(keep(s) for s in spec))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, cleaned))
+
+
+def replicate_params(params, mesh):
+    """Fully replicate a parameter pytree over the mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec())
+    return jax.device_put(params, sharding)
+
+
+def generate_batch(pipe, prompts: Sequence[str], mesh=None,
+                   num_inference_steps: int = 50, seed: int = 0,
+                   guidance_scale: Optional[float] = None,
+                   negative_prompt: Optional[str] = None,
+                   **kwargs):
+    """Data-parallel batched generation over a mesh.
+
+    The batch must divide the mesh's ``data`` axis size.  Works with an active
+    trace (per-sample heat maps land in ``tc.batch_heat_maps`` exactly like
+    single-device batched tracing — accumulators shard with the batch).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if mesh is None:
+        mesh = get_active_mesh()
+    assert mesh is not None, 'generate_batch requires a mesh (use make_mesh/use_mesh)'
+
+    dp = mesh.shape['data']
+    B = len(prompts)
+    assert B % dp == 0, f'batch {B} must be divisible by data axis {dp}'
+
+    pipe.params = replicate_params(pipe.params, mesh)
+    key = jax.random.PRNGKey(seed)
+
+    with use_mesh(mesh):
+        return pipe(list(prompts), num_inference_steps=num_inference_steps,
+                    generator=key, guidance_scale=guidance_scale,
+                    negative_prompt=negative_prompt, **kwargs)

@@ -1,0 +1,304 @@
+"""Stable Diffusion pipeline — jit-compiled, scan-sampled, trace-aware.
+
+TPU-native replacement for the reference's ``diffusers`` pipeline + monkey
+patching (reference ``daam/trace.py``): the whole sampling loop (text encode →
+CFG denoising scan → VAE decode) is one jitted function per
+(steps, batch, capture-mode) signature.  Tracing is a *configuration* of that
+function, not object surgery: when a :class:`~daam_tpu.trace.trace` context is
+active, the pipeline runs the capture variant, which carries per-factor heat
+map accumulators through the ``lax.scan`` (summing over timesteps on-device —
+the functional analog of ``RawHeatMapCollection.update``'s running sum,
+reference ``daam/heatmap.py:153-156``) and can save or replay raw attention
+(reference ``daam/trace.py:279-282``).
+"""
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import PIL.Image
+
+from ..models.clip import CLIPTextEncoder
+from ..models.configs import PipelineConfig, get_pipeline_config
+from ..models.unet import UNet2DConditionModel, cross_attention_layout
+from ..models.vae import AutoencoderKL
+from ..tokenization import default_tokenizer
+from .schedulers import BaseScheduler, get_scheduler
+
+__all__ = ['StableDiffusionPipeline', 'PipelineOutput']
+
+
+@dataclass
+class PipelineOutput:
+    images: List[PIL.Image.Image]
+    nsfw_content_detected: Optional[List[bool]] = None
+
+
+class _ModuleShim:
+    """Duck-typed ``pipe.unet.config`` surface for reference-API parity
+    (``daam/trace.py:32`` reads ``pipeline.unet.config.sample_size``)."""
+
+    def __init__(self, config):
+        self.config = config
+
+
+def _to_pil(images: np.ndarray) -> List[PIL.Image.Image]:
+    images = np.clip(np.asarray(images) * 255 + 0.5, 0, 255).astype(np.uint8)
+    return [PIL.Image.fromarray(im) for im in images]
+
+
+class StableDiffusionPipeline:
+    """Text-to-image Stable Diffusion (1.x / 2.x) on JAX/TPU.
+
+    Construction: :meth:`from_pretrained` (local diffusers-format checkpoint
+    dir or preset name with random weights).  Call signature mirrors the
+    reference pipeline: ``pipe(prompt, num_inference_steps=…, generator=key,
+    guidance_scale=…, negative_prompt=…, callback=…)``.
+    """
+
+    is_sdxl = False
+
+    def __init__(self, config: PipelineConfig, params: Dict[str, Any],
+                 tokenizer=None, scheduler: Union[str, BaseScheduler] = 'ddim',
+                 dtype: jnp.dtype = jnp.float32):
+        self.config = config
+        self.params = params
+        self.dtype = dtype
+        self.tokenizer = tokenizer or default_tokenizer()
+        if isinstance(scheduler, str):
+            scheduler = get_scheduler(scheduler, config.prediction_type)
+        self.scheduler = scheduler
+
+        self.text_encoder = CLIPTextEncoder(config.text, dtype=dtype)
+        self.unet_module = UNet2DConditionModel(config.unet, dtype=dtype)
+        self.vae = AutoencoderKL(config.vae, dtype=dtype)
+
+        self.unet = _ModuleShim(config.unet)
+        self.vae_scale_factor = config.vae.scale_factor
+        self.image_processor = None
+
+        # Trace integration (installed by daam_tpu.trace; None = untraced).
+        self._active_trace = None
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------ init
+    @classmethod
+    def from_pretrained(cls, model_name_or_path: str, scheduler: str = 'ddim',
+                        dtype=jnp.float32, seed: int = 0, **kwargs
+                        ) -> 'StableDiffusionPipeline':
+        from ..models import weights as W
+        from pathlib import Path
+
+        if Path(model_name_or_path).exists():
+            config, params, tokenizer = W.load_diffusers_checkpoint(
+                model_name_or_path, dtype=dtype)
+            klass = _pipeline_class(config)
+            return klass(config, params, tokenizer=tokenizer,
+                         scheduler=scheduler, dtype=dtype)
+        config = get_pipeline_config(model_name_or_path)
+        klass = _pipeline_class(config)
+        params = W.init_random_params(config, seed=seed, dtype=dtype)
+        return klass(config, params, scheduler=scheduler, dtype=dtype)
+
+    # ---------------------------------------------------------------- encode
+    def _encode_tokens(self, prompts: Sequence[str]) -> np.ndarray:
+        enc = self.tokenizer(list(prompts), padding='max_length',
+                             truncation=True, return_tensors='np')
+        return enc['input_ids'].astype(np.int32)
+
+    def _text_forward(self, params, input_ids):
+        """(context, added_cond) for the UNet.  SD: plain hidden states."""
+        hidden, _ = self.text_encoder.apply(
+            {'params': params['text_encoder']}, input_ids)
+        return hidden, None
+
+    # --------------------------------------------------------------- compile
+    def _build_generate(self, batch_size: int, num_steps: int, height: int,
+                        width: int, capture_spec: Optional[Tuple] = None,
+                        save_heads: bool = False, load_heads: bool = False):
+        """Build the jitted end-to-end generate function for one signature."""
+        scheduler = self.scheduler
+        latent_h = height // self.vae_scale_factor
+        latent_w = width // self.vae_scale_factor
+        latent_shape = (batch_size, latent_h, latent_w,
+                        self.config.unet.in_channels)
+        scan_steps = scheduler.num_scan_steps(num_steps)
+        layout = {info.name: info for info in
+                  cross_attention_layout(self.config.unet)}
+        grid_x = self._map_grid_size()
+
+        capture = capture_spec is not None
+        # capture_spec: tuple of (factor, (layer_names...), (layer_ids...))
+        def make_acc():
+            accs = {}
+            if not capture:
+                return accs
+            for factor, names, _ids in capture_spec:
+                info = layout[names[0]]
+                h = latent_h // info.downscale
+                w = latent_w // info.downscale
+                T = self.tokenizer.model_max_length
+                accs[factor] = jnp.zeros(
+                    (batch_size, len(names), info.heads, T, h, w), jnp.float32)
+            return accs
+
+        def reshape_probs(probs, name):
+            # (2B, H, hw, T) -> conditional half -> (B, H, T, h, w)
+            info = layout[name]
+            h = latent_h // info.downscale
+            w = latent_w // info.downscale
+            p = probs[batch_size:]  # conditional half (CFG filter,
+            #                         reference daam/trace.py:240)
+            p = p.transpose(0, 1, 3, 2)
+            return p.reshape(batch_size, info.heads, -1, h, w)
+
+        def generate(params, input_ids, neg_input_ids, key, guidance_scale,
+                     replay=None):
+            context_cond, added_cond = self._text_forward(params, input_ids)
+            context_uncond, added_uncond = self._text_forward(params, neg_input_ids)
+            context = jnp.concatenate([context_uncond, context_cond], axis=0)
+            added = self._merge_added(added_uncond, added_cond, height, width)
+
+            from ..parallel.mesh import constraint as shard_constraint
+            latents = jax.random.normal(key, latent_shape, dtype=jnp.float32)
+            latents = latents * scheduler.init_noise_sigma
+            latents = shard_constraint(latents, 'data', None, None, None)
+            sched_state = scheduler.init_state(num_steps, latent_shape,
+                                               jnp.float32)
+            timesteps = sched_state['timesteps']
+
+            def step(carry, i):
+                latents, sched_state, accs = carry
+                latent_in = jnp.concatenate([latents, latents], axis=0)
+                latent_in = scheduler.scale_model_input(sched_state, latent_in, i)
+                t = timesteps[i]
+                rep = None
+                if load_heads:
+                    rep = {name: replay[name][i] for name in replay}
+                eps, probs = self.unet_module.apply(
+                    {'params': params['unet']}, latent_in,
+                    jnp.full((2 * batch_size,), t), context,
+                    added_cond=added, capture=capture or save_heads,
+                    replay=rep)
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                latents, sched_state = scheduler.step(sched_state, i, eps, latents)
+
+                if capture:
+                    new_accs = {}
+                    for factor, names, _ids in capture_spec:
+                        update = jnp.stack(
+                            [reshape_probs(probs[n], n) for n in names], axis=1)
+                        new_accs[factor] = accs[factor] + update
+                    accs = new_accs
+
+                ys = None
+                if save_heads:
+                    ys = {n: p.astype(jnp.bfloat16) for n, p in probs.items()}
+                return (latents, sched_state, accs), ys
+
+            (latents, _, accs), saved = jax.lax.scan(
+                step, (latents, sched_state, make_acc()),
+                jnp.arange(scan_steps))
+
+            scaled = latents / self.config.vae.scaling_factor
+            images = self.vae.apply({'params': params['vae']}, scaled,
+                                    method=AutoencoderKL.decode)
+            images = jnp.clip(images / 2 + 0.5, 0.0, 1.0)
+            return images, accs, saved
+
+        return jax.jit(generate)
+
+    def _merge_added(self, added_uncond, added_cond, height, width):
+        return None  # SD has no added conditioning (SDXL overrides)
+
+    def _map_grid_size(self) -> int:
+        """Global heat-map grid: 64 for 512/1024-px models, 96 for 768
+        (reference ``daam/trace.py:32-33``)."""
+        image_size = self.config.image_size
+        return 64 if image_size in (512, 1024) else 96
+
+    # ------------------------------------------------------------------ call
+    def __call__(self, prompt: Union[str, List[str]],
+                 num_inference_steps: int = 50,
+                 generator: Optional[jnp.ndarray] = None,
+                 guidance_scale: Optional[float] = None,
+                 negative_prompt: Union[str, List[str], None] = None,
+                 height: Optional[int] = None, width: Optional[int] = None,
+                 callback=None, output_type: str = 'pil') -> PipelineOutput:
+        tr = self._active_trace
+        if tr is not None:
+            tr._on_call_start(prompt)
+
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        B = len(prompts)
+        if negative_prompt is None:
+            negatives = [''] * B
+        elif isinstance(negative_prompt, str):
+            negatives = [negative_prompt] * B
+        else:
+            negatives = list(negative_prompt)
+
+        height = height or self.config.image_size
+        width = width or self.config.image_size
+        if guidance_scale is None:
+            guidance_scale = self.config.default_guidance_scale
+        if generator is None:
+            generator = jax.random.PRNGKey(0)
+
+        capture_spec = tr.capture_spec(self) if tr is not None else None
+        save_heads = bool(tr and tr.save_heads)
+        load_heads = bool(tr and tr.load_heads)
+
+        from ..parallel.mesh import get_active_mesh
+        mesh = get_active_mesh()
+        mesh_key = None if mesh is None else tuple(sorted(mesh.shape.items()))
+        cache_key = (B, num_inference_steps, height, width, capture_spec,
+                     save_heads, load_heads, mesh_key)
+        if cache_key not in self._jit_cache:
+            self._jit_cache[cache_key] = self._build_generate(
+                B, num_inference_steps, height, width,
+                capture_spec=capture_spec, save_heads=save_heads,
+                load_heads=load_heads)
+        generate = self._jit_cache[cache_key]
+
+        input_ids = self._encode_tokens(prompts)
+        neg_ids = self._encode_tokens(negatives)
+
+        kwargs = {}
+        if load_heads:
+            kwargs['replay'] = tr.replay_buffer(num_inference_steps)
+        images, accs, saved = generate(self.params, input_ids, neg_ids,
+                                       generator,
+                                       jnp.float32(guidance_scale), **kwargs)
+
+        pil_images = _to_pil(images) if output_type == 'pil' else list(np.asarray(images))
+
+        if tr is not None:
+            tr._on_call_end(prompts, pil_images, accs, saved,
+                            num_inference_steps)
+        if callback is not None:
+            for i in range(num_inference_steps):
+                callback(i, None, None)
+
+        return PipelineOutput(images=pil_images)
+
+    # ------------------------------------------------- reference-API helpers
+    def check_inputs(self, prompt, *args, **kwargs):
+        """Validation hook (patched by PipelineHooker in the reference,
+        ``daam/trace.py:171-182``); batching is allowed here."""
+        return None
+
+    def numpy_to_pil(self, images):
+        return _to_pil(images)
+
+
+def _pipeline_class(config: PipelineConfig):
+    if config.is_sdxl:
+        from .sdxl import StableDiffusionXLPipeline
+        return StableDiffusionXLPipeline
+    return StableDiffusionPipeline

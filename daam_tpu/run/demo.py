@@ -1,0 +1,294 @@
+"""``daam-demo`` — interactive web demo with attention-transplant counterfactuals.
+
+TPU-native counterpart of reference ``daam/run/demo.py``.  The reference uses
+Gradio; this environment is offline, so the demo is a self-contained
+``http.server`` app (no external deps) serving a single-page UI with:
+
+* prompt box + example dropdown,
+* per-word heat-map grid (from ``parsed_heat_maps``),
+* adjective-replacement counterfactual via ``save_heads`` on the first
+  generation + ``load_heads`` on the second (attention transplant with the
+  same seed — reference ``demo.py:102-114``),
+* a dependency-parse readout (the reference renders spaCy displaCy SVG).
+
+If Gradio *is* importable, ``--gradio`` serves a Gradio Blocks app instead.
+A ``threading.Lock`` serializes generations like the reference (``demo.py:69``).
+"""
+
+from pathlib import Path
+from threading import Lock
+import argparse
+import base64
+import io
+import json
+import time
+import urllib.parse
+
+import numpy as np
+
+from ..nlp import cached_nlp
+from ..trace import trace
+from ..utils import set_seed
+
+MODEL_ID_MAP = {
+    'v1': 'v1',
+    'v2-base': 'v2-base',
+    'v2-large': 'v2-large',
+    'v2-1-base': 'v2-1-base',
+    'v2-1-large': 'v2-1-large',
+}
+
+EXAMPLES = [
+    'An angry, bald man doing research',
+    'A bear and a moose',
+    'A blue car driving through the city',
+    'Monkey walking with hat',
+    'A brown cat eating yummy cake for her birthday',
+    'A brown fox, a white dog, and a blue wolf in a green field',
+]
+
+
+def get_tokenizing_mapping(prompt, tokenizer):
+    """Group subword token indices into words via ``</w>`` markers
+    (reference ``demo.py:25-41``)."""
+    tokens = tokenizer.tokenize(prompt)
+    merge_idxs, words = [], []
+    curr_idxs, curr_word = [], ''
+    for i, token in enumerate(tokens):
+        curr_idxs.append(i + 1)  # +1 for the SOS token
+        curr_word += token
+        if '</w>' in token:
+            merge_idxs.append(curr_idxs)
+            curr_idxs = []
+            words.append(curr_word[:-4])
+            curr_word = ''
+    return merge_idxs, words
+
+
+def dependency_html(text: str) -> str:
+    """Plain-HTML dependency readout (the displaCy-SVG analog)."""
+    rows = ''.join(
+        f'<tr><td>{tok.text}</td><td>{tok.pos_}</td><td>{tok.dep_}</td>'
+        f'<td>{tok.head.text}</td></tr>'
+        for tok in cached_nlp(text))
+    return ('<table class="dep"><tr><th>token</th><th>POS</th>'
+            '<th>dep</th><th>head</th></tr>' + rows + '</table>')
+
+
+def _img_to_b64(pil_img) -> str:
+    buf = io.BytesIO()
+    pil_img.save(buf, format='PNG')
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _overlay_b64(image, word_heat_map) -> str:
+    """Render the word overlay to a base64 PNG (jet colormap, alpha=1-heat)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(3, 3))
+    word_heat_map.plot_overlay(image, ax=ax)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    buf = io.BytesIO()
+    fig.savefig(buf, format='png', bbox_inches='tight')
+    plt.close(fig)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+PAGE = """<!doctype html>
+<html><head><title>DAAM-TPU: Attention Maps for Stable Diffusion</title>
+<style>
+body {{ font-family: sans-serif; margin: 2em; max-width: 1100px; }}
+.grid {{ display: flex; flex-wrap: wrap; gap: 8px; }}
+.cell {{ text-align: center; font-size: 13px; }}
+img {{ max-width: 256px; }}
+table.dep {{ border-collapse: collapse; font-size: 13px; }}
+table.dep td, table.dep th {{ border: 1px solid #ccc; padding: 2px 8px; }}
+textarea {{ width: 60%; }}
+</style></head>
+<body>
+<h1>DAAM-TPU: Attention Maps for Interpreting Stable Diffusion</h1>
+<p>TPU-native rebuild of <a href="https://github.com/castorini/daam">DAAM</a>
+(paper: <a href="http://arxiv.org/abs/2210.04885">What the DAAM</a>).</p>
+<form method="post" action="/generate">
+<p><textarea name="prompt" rows="2">{prompt}</textarea></p>
+<p>Examples: <select name="example" onchange="this.form.prompt.value=this.value">
+{examples}</select></p>
+<p>Adjective to replace: <select name="choice">{adjectives}</select>
+New adjective: <input name="new_adj" value="{new_adj}"/></p>
+<p>Inference steps: <input name="steps" type="number" value="{steps}" min="1" max="50"/>
+Random seed: <input name="random_seed" type="checkbox" {random_checked}/></p>
+<p><button type="submit">Submit</button></p>
+</form>
+{results}
+<h3>Dependency parse</h3>
+{dep}
+</body></html>"""
+
+
+def make_app(pipe, default_seed: int):
+    """Build the request handler class bound to a pipeline."""
+    import http.server
+
+    lock = Lock()
+
+    def render(prompt='An angry, bald man doing research', new_adj='',
+               steps=10, random_seed=False, results=''):
+        adjectives = [''] + [t.text for t in cached_nlp(prompt) if t.pos_ == 'ADJ']
+        return PAGE.format(
+            prompt=prompt,
+            examples=''.join(f'<option value="{e}">{e}</option>' for e in EXAMPLES),
+            adjectives=''.join(f'<option value="{a}">{a}</option>' for a in adjectives),
+            new_adj=new_adj,
+            steps=steps,
+            random_checked='checked' if random_seed else '',
+            results=results,
+            dep=dependency_html(prompt),
+        ).encode()
+
+    def generate(prompt, choice, new_adj, steps, random_seed):
+        """The reference's ``plot`` flow (``demo.py:77-158``)."""
+        prompt = prompt.replace(',', ', ').replace('.', '. ')
+        new_prompt = prompt
+        if choice:
+            if not new_adj:
+                new_adj = '.'
+            new_prompt = ' '.join(new_adj if tok.text == choice else tok.text
+                                  for tok in cached_nlp(prompt))
+
+        with lock:
+            seed = int(time.time()) if random_seed else default_seed
+            gen = set_seed(seed)
+            counterfactual = choice and new_prompt != prompt
+
+            with trace(pipe, save_heads=bool(counterfactual)) as tc:
+                out = pipe(prompt, num_inference_steps=steps, generator=gen)
+                heat_map = tc.compute_global_heat_map()
+                image = out.images[0]
+
+            image2 = None
+            if counterfactual:
+                gen = set_seed(seed)
+                with trace(pipe, load_heads=True):
+                    out2 = pipe(new_prompt, num_inference_steps=steps,
+                                generator=gen)
+                    image2 = out2.images[0]
+
+        html = ['<h3>Images</h3><div class="grid">']
+        html.append(f'<div class="cell"><img src="data:image/png;base64,'
+                    f'{_img_to_b64(image)}"/><br/>{prompt}</div>')
+        if image2 is not None:
+            html.append(f'<div class="cell"><img src="data:image/png;base64,'
+                        f'{_img_to_b64(image2)}"/><br/>{new_prompt} '
+                        f'(transplanted attention)</div>')
+        html.append('</div><h3>DAAM maps</h3><div class="grid">')
+        for parsed in heat_map.parsed_heat_maps():
+            b64 = _overlay_b64(image, parsed.word_heat_map)
+            html.append(f'<div class="cell"><img src="data:image/png;base64,'
+                        f'{b64}"/><br/>{parsed.token.text}</div>')
+        html.append('</div>')
+        return prompt, ''.join(html)
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, body, code=200):
+            self.send_response(code)
+            self.send_header('Content-Type', 'text/html; charset=utf-8')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            self._send(render())
+
+        def do_POST(self):
+            length = int(self.headers.get('Content-Length', 0))
+            data = urllib.parse.parse_qs(self.rfile.read(length).decode())
+            prompt = data.get('prompt', [''])[0] or EXAMPLES[0]
+            choice = data.get('choice', [''])[0]
+            new_adj = data.get('new_adj', [''])[0]
+            steps = int(data.get('steps', ['10'])[0])
+            random_seed = 'random_seed' in data
+            try:
+                prompt, results = generate(prompt, choice, new_adj, steps,
+                                           random_seed)
+            except Exception as e:  # surface errors in the page
+                results = f'<pre>error: {e}</pre>'
+            self._send(render(prompt=prompt, new_adj=new_adj, steps=steps,
+                              random_seed=random_seed, results=results))
+
+    Handler.generate = staticmethod(generate)  # exposed for tests
+    return Handler
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(prog='daam-demo')
+    parser.add_argument('--model', '-m', type=str, default='v2-1-base',
+                        choices=list(MODEL_ID_MAP.keys()))
+    parser.add_argument('--seed', '-s', type=int, default=0)
+    parser.add_argument('--port', '-p', type=int, default=8080)
+    parser.add_argument('--tiny', action='store_true',
+                        help='random-weight tiny fixture')
+    parser.add_argument('--from-path', type=str, default=None)
+    parser.add_argument('--scheduler', type=str, default='ddim')
+    parser.add_argument('--gradio', action='store_true',
+                        help='serve via Gradio if installed')
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    import http.server
+
+    args = get_args(argv)
+    from ..pipeline.sd import StableDiffusionPipeline
+
+    source = 'tiny' if args.tiny else (args.from_path or MODEL_ID_MAP[args.model])
+    pipe = StableDiffusionPipeline.from_pretrained(source,
+                                                   scheduler=args.scheduler)
+
+    if args.gradio:
+        try:
+            return _gradio_main(pipe, args)
+        except ImportError:
+            print('gradio not installed; falling back to builtin server')
+
+    handler = make_app(pipe, args.seed)
+    while True:
+        try:
+            server = http.server.ThreadingHTTPServer(('0.0.0.0', args.port),
+                                                     handler)
+            print(f'daam-demo listening on http://0.0.0.0:{args.port}')
+            server.serve_forever()
+        except OSError:
+            time.sleep(1)
+        except KeyboardInterrupt:
+            break
+
+
+def _gradio_main(pipe, args):  # pragma: no cover - optional dependency
+    import gradio as gr
+    handler = make_app(pipe, args.seed)
+
+    def run(prompt, choice, new_adj, steps, random_seed):
+        _, html = handler.generate(prompt, choice, new_adj, int(steps),
+                                   random_seed)
+        return html
+
+    demo = gr.Interface(
+        fn=run,
+        inputs=[gr.Textbox(label='Prompt', value=EXAMPLES[0]),
+                gr.Textbox(label='Adjective to replace'),
+                gr.Textbox(label='New adjective'),
+                gr.Slider(1, 50, value=10, step=1, label='Inference steps'),
+                gr.Checkbox(label='Random seed')],
+        outputs=gr.HTML(),
+        title='DAAM-TPU: Attention Maps for Interpreting Stable Diffusion')
+    demo.launch(server_name='0.0.0.0', server_port=args.port)
+
+
+if __name__ == '__main__':
+    main()

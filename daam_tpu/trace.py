@@ -1,0 +1,279 @@
+"""Trace layer: ``with trace(pipe) as tc`` — capture heat maps during generation.
+
+TPU-native counterpart of reference ``daam/trace.py``.  The public surface is
+identical (``trace`` / :class:`DiffusionHeatMapHooker` with ``low_memory``,
+``save_heads``, ``load_heads``, ``data_dir``; ``compute_global_heat_map``;
+``to_experiment``; ``time_callback``; ``layer_names``), but the mechanism is
+functional: hooking installs the trace on the pipeline object, which switches
+its jitted sampling program to the capture variant.  The per-(factor, layer,
+head) running sums over timesteps happen **on device inside the sampling
+scan** (the analog of ``UNetCrossAttentionHooker.__call__`` →
+``RawHeatMapCollection.update``, reference ``daam/trace.py:252-304``), and
+arrive here as one block per spatial factor.
+
+Differences by design (SURVEY.md §7):
+
+* Batched prompts are supported — the reference rejects them
+  (``daam/trace.py:172-173``); heat maps are kept per sample and
+  ``compute_global_heat_map(batch_idx=…)`` selects one.
+* ``save_heads``/``load_heads`` keep the attention replay buffer **on device**
+  (bf16) in an in-process registry keyed by ``data_dir`` instead of one
+  ``torch.save`` file per attention call (``daam/trace.py:246-250``);
+  ``dump_heads``/``load_heads_from`` provide the on-disk form.
+"""
+
+import math
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Type, Union
+
+import numpy as np
+
+from .experiment import GenerationExperiment
+from .heatmap import GlobalHeatMap, RawHeatMapCollection
+from .hook import AggregateHooker, ObjectHooker, UNetCrossAttentionLocator
+from .ops.resize import bicubic_resize
+from .utils import cache_dir
+
+__all__ = ['trace', 'DiffusionHeatMapHooker', 'GlobalHeatMap']
+
+
+# In-process replay registry: data_dir key -> {layer_name: (steps, 2B, H, hw, T)}
+_HEAD_CACHE: Dict[str, Any] = {}
+
+
+class PipelineHooker(ObjectHooker):
+    """Installs/uninstalls the trace on the pipeline object (the functional
+    analog of patching ``check_inputs``/``run_safety_checker``,
+    reference ``daam/trace.py:150-186``)."""
+
+    def __init__(self, pipeline, parent_trace: 'DiffusionHeatMapHooker'):
+        super().__init__(pipeline)
+        self.parent_trace = parent_trace
+
+    def _hook_impl(self):
+        if getattr(self.module, '_active_trace', None) is not None:
+            raise RuntimeError('Pipeline is already being traced')
+        self.module._active_trace = self.parent_trace
+
+    def _unhook_impl(self):
+        self.module._active_trace = None
+
+
+class DiffusionHeatMapHooker(AggregateHooker):
+    def __init__(self, pipeline, low_memory: bool = False,
+                 load_heads: bool = False, save_heads: bool = False,
+                 data_dir: Optional[Union[str, Path]] = None):
+        self.all_heat_maps = RawHeatMapCollection()
+        # Heat-map grid: 64² for 512/1024-px models, 96² for 768-px
+        # (reference ``daam/trace.py:32-33``).
+        h = pipeline.unet.config.sample_size * pipeline.vae_scale_factor
+        self.latent_hw = 4096 if h == 512 or h == 1024 else 9216
+
+        locate_middle = load_heads or save_heads
+        self.locator = UNetCrossAttentionLocator(
+            restrict={0} if low_memory else None,
+            locate_middle_block=locate_middle)
+        self.last_prompt: str = ''
+        self.last_image = None
+        self.last_prompts: List[str] = []
+        self.last_images: List[Any] = []
+        self.time_idx = 0
+        self._gen_idx = 0
+
+        self.low_memory = low_memory
+        self.save_heads = save_heads
+        self.load_heads = load_heads
+        self.data_dir = str(data_dir) if data_dir is not None else 'default'
+
+        self.pipe = pipeline
+        self._located = self.locator.locate(pipeline.unet)
+        self.batch_heat_maps: Dict[int, Any] = {}  # factor -> (B, L, H, T, h, w)
+        self._layer_ids_by_factor: Dict[int, Tuple[int, ...]] = {}
+
+        super().__init__([PipelineHooker(pipeline, self)])
+
+    # ------------------------------------------------------------ properties
+    @property
+    def layer_names(self):
+        return self.locator.layer_names
+
+    def time_callback(self, *args, **kwargs):
+        self.time_idx += 1
+
+    # ------------------------------------------------------- capture wiring
+    def _factor_of(self, info) -> int:
+        """Spatial factor of a layer: map-grid edge / layer's grid edge
+        (reference ``daam/trace.py:285``: ``sqrt(latent_hw / hw)``)."""
+        x = int(math.sqrt(self.latent_hw))
+        latent_edge = self.pipe.config.unet.sample_size
+        layer_edge = latent_edge // info.downscale
+        return max(x // layer_edge, 1) if layer_edge <= x else x // layer_edge
+
+    def capture_spec(self, pipeline) -> Tuple:
+        """Static capture plan for the jitted sampler: per spatial factor,
+        which layer names to accumulate and their global layer indices.
+        Factor-8 (8×8) maps are skipped like the reference
+        (``daam/trace.py:289``)."""
+        groups: Dict[int, Tuple[List[str], List[int]]] = {}
+        for info in self._located:
+            factor = self._factor_of(info)
+            if factor == 8:
+                continue
+            names, ids = groups.setdefault(factor, ([], []))
+            names.append(info.name)
+            ids.append(info.layer_idx)
+        return tuple(sorted(
+            (factor, tuple(names), tuple(ids))
+            for factor, (names, ids) in groups.items()))
+
+    def _on_call_start(self, prompt):
+        self.all_heat_maps.clear()
+        self.batch_heat_maps.clear()
+        if isinstance(prompt, str):
+            self.last_prompt = prompt
+            self.last_prompts = [prompt]
+        else:
+            self.last_prompt = prompt[0]
+            self.last_prompts = list(prompt)
+
+    def _on_call_end(self, prompts, images, accs, saved, num_steps):
+        import jax.numpy as jnp
+
+        self.last_prompts = list(prompts)
+        self.last_images = images
+        self.last_image = images[len(images) - 1] if images else None
+        self._gen_idx += len(prompts) * num_steps
+
+        spec = {factor: ids for factor, _names, ids in self.capture_spec(self.pipe)}
+        for factor, block in (accs or {}).items():
+            layer_ids = list(spec[factor])
+            # block: (B, L, H, T, h, w); register sample 0's view in the
+            # reference-shaped collection, keep the batch for batch_idx query.
+            self.batch_heat_maps[factor] = block
+            self._layer_ids_by_factor[factor] = tuple(layer_ids)
+            self.all_heat_maps.update_block(factor, block[0], layer_ids)
+
+        if self.save_heads and saved is not None:
+            _HEAD_CACHE[self.data_dir] = saved
+
+    def replay_buffer(self, num_steps: int):
+        """The saved raw attention for ``load_heads``
+        (analog of ``daam/trace.py:249-250,281-282``)."""
+        if self.data_dir not in _HEAD_CACHE:
+            raise RuntimeError(
+                f'No saved attention heads under data_dir={self.data_dir!r}; '
+                f'run a generation with save_heads=True first.')
+        return _HEAD_CACHE[self.data_dir]
+
+    def dump_heads(self, path: Union[str, Path]):
+        """Persist the replay buffer to disk (.npz), the cross-process analog
+        of the reference's per-call ``torch.save`` files."""
+        saved = self.replay_buffer(0)
+        arrays = {name: np.asarray(arr, dtype=np.float16)
+                  for name, arr in saved.items()}
+        np.savez_compressed(path, **arrays)
+
+    def load_heads_from(self, path: Union[str, Path]):
+        import jax.numpy as jnp
+
+        data = np.load(path)
+        _HEAD_CACHE[self.data_dir] = {
+            name: jnp.asarray(data[name], dtype=jnp.bfloat16)
+            for name in data.files}
+
+    # ------------------------------------------------------------- queries
+    def to_experiment(self, path, seed=None, id='.', subtype='.',
+                      **compute_kwargs) -> GenerationExperiment:
+        """Export the last generation as a serializable experiment
+        (reference ``daam/trace.py:68-81``).  ``batch_idx`` (forwarded to
+        :meth:`compute_global_heat_map`) selects a sample from a batched
+        generation."""
+        batch_idx = compute_kwargs.get('batch_idx', 0)
+        image = (self.last_images[batch_idx]
+                 if batch_idx < len(self.last_images) else self.last_image)
+        prompt = (self.last_prompts[batch_idx]
+                  if batch_idx < len(self.last_prompts) else self.last_prompt)
+        return GenerationExperiment(
+            image,
+            np.asarray(self.compute_global_heat_map(**compute_kwargs).heat_maps),
+            prompt,
+            seed=seed,
+            id=id,
+            subtype=subtype,
+            path=path,
+            tokenizer=self.pipe.tokenizer,
+        )
+
+    def compute_global_heat_map(self, prompt: Optional[str] = None,
+                                factors=None, head_idx: Optional[int] = None,
+                                layer_idx: Optional[int] = None,
+                                normalize: bool = False,
+                                batch_idx: int = 0) -> GlobalHeatMap:
+        """Aggregate captured maps into a (tokens, x, x) global heat map.
+
+        Mirrors reference ``daam/trace.py:83-132``: filter by factor /
+        head / layer, bicubic-upsample each map to the x×x grid with
+        undershoot clamping, mean over all (factor, layer, head) entries,
+        truncate to ``len(tokenize(prompt)) + 2``, optionally normalize over
+        real tokens.
+        """
+        import jax.numpy as jnp
+
+        if prompt is None:
+            prompt = (self.last_prompts[batch_idx]
+                      if batch_idx < len(self.last_prompts) else self.last_prompt)
+        # ``None`` means every captured factor.  (The reference defaults to the
+        # hardcoded set {0,1,2,4,8,16,32,64}, ``daam/trace.py:103-104``, which
+        # covers everything its real models produce; "all" preserves that
+        # behavior while also working for nonstandard latent sizes.)
+        if factors is not None:
+            factors = set(factors)
+
+        x = int(math.sqrt(self.latent_hw))
+        merge_sums = []
+        merge_counts = 0
+
+        source = self.batch_heat_maps
+        if not source:
+            if head_idx is not None or layer_idx is not None:
+                raise RuntimeError('No heat maps found for the given parameters.')
+            raise RuntimeError('No heat maps found. Did you forget to call '
+                               '`with trace(...)` during generation?')
+
+        for factor, block in source.items():
+            if factors is not None and factor not in factors:
+                continue
+            layer_ids = self._layer_ids_by_factor[factor]
+            sel = block[batch_idx]  # (L, H, T, h, w)
+            if layer_idx is not None:
+                if layer_idx not in layer_ids:
+                    continue
+                sel = sel[layer_ids.index(layer_idx)][None]
+            if head_idx is not None:
+                if head_idx >= sel.shape[1]:
+                    continue
+                sel = sel[:, head_idx:head_idx + 1]
+            L, H, T = sel.shape[:3]
+            # Upsample the whole block at once (two MXU matmuls), clamp the
+            # bicubic undershoot like reference ``daam/trace.py:116``.
+            up = bicubic_resize(sel.astype(jnp.float32), (x, x), clamp_min=0.0)
+            merge_sums.append(up.sum(axis=(0, 1)))
+            merge_counts += L * H
+
+        if merge_counts == 0:
+            if head_idx is not None or layer_idx is not None:
+                raise RuntimeError('No heat maps found for the given parameters.')
+            raise RuntimeError('No heat maps found. Did you forget to call '
+                               '`with trace(...)` during generation?')
+
+        maps = sum(merge_sums) / merge_counts  # (T, x, x)
+        n_tokens = len(self.pipe.tokenizer.tokenize(prompt))
+        maps = maps[:n_tokens + 2]  # +1 SOS, +1 padding (ref trace.py:127)
+
+        if normalize:
+            maps = maps / (maps[1:-1].sum(0, keepdims=True) + 1e-6)
+
+        return GlobalHeatMap(self.pipe.tokenizer, prompt, maps)
+
+
+trace: Type[DiffusionHeatMapHooker] = DiffusionHeatMapHooker

@@ -12,5 +12,11 @@ _flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (_flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# The axon TPU plugin (registered by sitecustomize before pytest starts)
+# overrides JAX_PLATFORMS; force the platform back to CPU explicitly so tests
+# run on the local 8-device virtual mesh, not the remote chip.
+import jax
+jax.config.update('jax_platforms', 'cpu')
+
 import matplotlib
 matplotlib.use('Agg')

@@ -1,0 +1,73 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest forces it)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from daam_tpu import set_seed, trace
+from daam_tpu.parallel import make_mesh, use_mesh, generate_batch, constraint
+from daam_tpu.pipeline.sd import StableDiffusionPipeline
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason='needs 8 virtual devices')
+
+
+@pytest.fixture(scope='module')
+def pipe():
+    return StableDiffusionPipeline.from_pretrained('tiny', scheduler='ddim')
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(dp=4, tp=2)
+    assert mesh.shape == {'data': 4, 'model': 2}
+    mesh = make_mesh()
+    assert mesh.shape == {'data': 8, 'model': 1}
+
+
+def test_constraint_noop_without_mesh():
+    x = jax.numpy.ones((4, 4))
+    y = constraint(x, 'data', None)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_dp_batched_generation(pipe):
+    mesh = make_mesh(dp=4, tp=1)
+    prompts = ['a dog runs', 'a cat sits', 'a bird flies', 'a fish swims']
+    out = generate_batch(pipe, prompts, mesh=mesh, num_inference_steps=2,
+                         seed=0)
+    assert len(out.images) == 4
+
+
+def test_dp_matches_single_device(pipe):
+    """Sharded generation must be numerically equivalent to unsharded."""
+    prompts = ['a dog runs', 'a cat sits']
+    out_single = pipe(prompts, num_inference_steps=2, generator=set_seed(0))
+    mesh = make_mesh(dp=2, tp=1)
+    out_sharded = generate_batch(pipe, prompts, mesh=mesh,
+                                 num_inference_steps=2, seed=0)
+    for a, b in zip(out_single.images, out_sharded.images):
+        np.testing.assert_allclose(np.array(a, dtype=np.float32),
+                                   np.array(b, dtype=np.float32), atol=2.0)
+
+
+def test_dp_tp_traced_generation(pipe):
+    """dp×tp mesh with tracing: heat maps must match the single-device run."""
+    prompts = ['a dog runs', 'a cat sits']
+    with trace(pipe) as tc:
+        pipe(prompts, num_inference_steps=2, generator=set_seed(0))
+        ref_maps = np.asarray(tc.compute_global_heat_map(batch_idx=0).heat_maps)
+
+    mesh = make_mesh(dp=2, tp=2)
+    with trace(pipe) as tc2:
+        generate_batch(pipe, prompts, mesh=mesh, num_inference_steps=2, seed=0)
+        sharded_maps = np.asarray(tc2.compute_global_heat_map(batch_idx=0).heat_maps)
+
+    np.testing.assert_allclose(ref_maps, sharded_maps, rtol=1e-2, atol=1e-3)
+
+
+def test_batch_not_divisible_raises(pipe):
+    mesh = make_mesh(dp=4, tp=1)
+    with pytest.raises(AssertionError):
+        generate_batch(pipe, ['a', 'b', 'c'], mesh=mesh, num_inference_steps=1)
