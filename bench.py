@@ -13,8 +13,14 @@ Flags: --model (default v2-1-base), --steps, --batch, --reps, --image-size.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Persistent compilation cache: the first bench invocation pays the (remote)
+# compile; later invocations and driver re-runs start hot.
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.expanduser('~/.cache/daam_tpu_jax_cache'))
 
 
 def run_config(pipe, prompt, steps, batch, traced, reps, height, width, key):

@@ -120,7 +120,13 @@ class StableDiffusionPipeline:
     def _build_generate(self, batch_size: int, num_steps: int, height: int,
                         width: int, capture_spec: Optional[Tuple] = None,
                         save_heads: bool = False, load_heads: bool = False):
-        """Build the jitted end-to-end generate function for one signature."""
+        """Build the jitted generate pipeline for one signature.
+
+        Three separately-compiled stages (text encode → denoising scan → VAE
+        decode) rather than one monolithic program: the text/VAE stages are
+        shared across traced/untraced variants (compile-cache reuse), and each
+        HLO stays small enough for fast (re)compilation.
+        """
         scheduler = self.scheduler
         latent_h = height // self.vae_scale_factor
         latent_w = width // self.vae_scale_factor
@@ -156,13 +162,14 @@ class StableDiffusionPipeline:
             p = p.transpose(0, 1, 3, 2)
             return p.reshape(batch_size, info.heads, -1, h, w)
 
-        def generate(params, input_ids, neg_input_ids, key, guidance_scale,
-                     replay=None):
+        def encode_text(params, input_ids, neg_input_ids):
             context_cond, added_cond = self._text_forward(params, input_ids)
             context_uncond, added_uncond = self._text_forward(params, neg_input_ids)
             context = jnp.concatenate([context_uncond, context_cond], axis=0)
             added = self._merge_added(added_uncond, added_cond, height, width)
+            return context, added
 
+        def sample(params, context, added, key, guidance_scale, replay=None):
             from ..parallel.mesh import constraint as shard_constraint
             latents = jax.random.normal(key, latent_shape, dtype=jnp.float32)
             latents = latents * scheduler.init_noise_sigma
@@ -204,14 +211,36 @@ class StableDiffusionPipeline:
             (latents, _, accs), saved = jax.lax.scan(
                 step, (latents, sched_state, make_acc()),
                 jnp.arange(scan_steps))
+            return latents, accs, saved
 
+        def decode(params, latents):
             scaled = latents / self.config.vae.scaling_factor
             images = self.vae.apply({'params': params['vae']}, scaled,
                                     method=AutoencoderKL.decode)
-            images = jnp.clip(images / 2 + 0.5, 0.0, 1.0)
+            return jnp.clip(images / 2 + 0.5, 0.0, 1.0)
+
+        # Stage-level jit: text and decode keyed only by (B, H, W) so all
+        # capture variants share their compilations.
+        text_key = ('text', batch_size, height, width)
+        decode_key = ('decode', batch_size, height, width)
+        if text_key not in self._jit_cache:
+            self._jit_cache[text_key] = jax.jit(encode_text)
+        if decode_key not in self._jit_cache:
+            self._jit_cache[decode_key] = jax.jit(decode)
+        jit_text = self._jit_cache[text_key]
+        jit_sample = jax.jit(sample)
+        jit_decode = self._jit_cache[decode_key]
+
+        def generate(params, input_ids, neg_input_ids, key, guidance_scale,
+                     replay=None):
+            context, added = jit_text(params, input_ids, neg_input_ids)
+            kwargs = {'replay': replay} if replay is not None else {}
+            latents, accs, saved = jit_sample(params, context, added, key,
+                                              guidance_scale, **kwargs)
+            images = jit_decode(params, latents)
             return images, accs, saved
 
-        return jax.jit(generate)
+        return generate
 
     def _merge_added(self, added_uncond, added_cond, height, width):
         return None  # SD has no added conditioning (SDXL overrides)

@@ -280,11 +280,21 @@ class HashWordTokenizer(_TokenizerBase):
 
 
 def default_tokenizer(model_dir: Optional[Union[str, Path]] = None,
-                      pad_id: Optional[int] = None) -> _TokenizerBase:
-    """Return a BPE tokenizer if local vocab files exist, else the hash fallback."""
+                      pad_id: Optional[int] = None,
+                      prefer_native: bool = True) -> _TokenizerBase:
+    """Return the best available tokenizer: the native (C++) BPE when vocab
+    files exist and the extension builds, the Python BPE otherwise, and the
+    hash fallback when no vocab files are present."""
     if model_dir is not None:
         model_dir = Path(model_dir)
         for cand in (model_dir, model_dir / 'tokenizer'):
             if (cand / 'vocab.json').exists() and (cand / 'merges.txt').exists():
+                if prefer_native:
+                    try:
+                        from .native import NativeBpeTokenizer
+                        return NativeBpeTokenizer.from_pretrained(cand,
+                                                                  pad_id=pad_id)
+                    except Exception:
+                        pass
                 return ClipBpeTokenizer.from_pretrained(cand, pad_id=pad_id)
     return HashWordTokenizer(pad_id=pad_id)
