@@ -1,0 +1,49 @@
+"""Replay-buffer disk round trip (the cross-process analog of the reference's
+per-call torch.save head files) + profiling utilities."""
+
+import numpy as np
+import pytest
+
+from daam_tpu import set_seed, trace
+from daam_tpu.pipeline.sd import StableDiffusionPipeline
+
+
+@pytest.fixture(scope='module')
+def pipe():
+    return StableDiffusionPipeline.from_pretrained('tiny', scheduler='ddim')
+
+
+def test_dump_and_load_heads_roundtrip(pipe, tmp_path):
+    with trace(pipe, save_heads=True) as tc:
+        out1 = pipe('a dog runs', num_inference_steps=2, generator=set_seed(0))
+        tc.dump_heads(tmp_path / 'heads.npz')
+    assert (tmp_path / 'heads.npz').exists()
+
+    # A fresh trace in a (conceptually) new process loads from disk.
+    with trace(pipe, load_heads=True, data_dir='other') as tc2:
+        tc2.load_heads_from(tmp_path / 'heads.npz')
+        out2 = pipe('a dog runs', num_inference_steps=2, generator=set_seed(0))
+    # fp16 disk roundtrip: images nearly identical
+    np.testing.assert_allclose(np.array(out1.images[0], dtype=np.float32),
+                               np.array(out2.images[0], dtype=np.float32),
+                               atol=4.0)
+
+
+def test_replay_missing_raises(pipe):
+    with trace(pipe, load_heads=True, data_dir='nonexistent-key') as tc:
+        with pytest.raises(RuntimeError, match='No saved attention heads'):
+            pipe('a dog runs', num_inference_steps=2, generator=set_seed(0))
+
+
+def test_step_timer_and_time_pipeline(pipe):
+    from daam_tpu.profiling import StepTimer, time_pipeline
+
+    timer = StepTimer()
+    with timer.stage('noop'):
+        pass
+    assert 'noop' in timer.summary()
+
+    times = time_pipeline(pipe, num_inference_steps=1, reps=1)
+    assert 'call' in times and times['call'] > 0
+    times = time_pipeline(pipe, num_inference_steps=1, reps=1, traced=True)
+    assert 'traced_call' in times
