@@ -24,31 +24,39 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
 
 
 def run_config(pipe, prompt, steps, batch, traced, reps, height, width, key):
-    """Median wall-clock seconds per pipeline call."""
+    """Median wall-clock seconds per pipeline call.
+
+    Each rep uses a distinct PRNG key so every call is a genuinely new
+    computation (identical repeated programs can be memoized/pipelined by
+    remote execution layers, inflating throughput)."""
+    import jax
+
     from daam_tpu import trace
 
     prompts = [prompt] * batch if batch > 1 else prompt
 
-    def one_call():
-        return pipe(prompts, num_inference_steps=steps, generator=key,
+    def one_call(i):
+        return pipe(prompts, num_inference_steps=steps,
+                    generator=jax.random.fold_in(key, i),
                     height=height, width=width, output_type='np')
 
     times = []
     if traced:
         with trace(pipe) as tc:
-            one_call()  # compile
-            for _ in range(reps):
+            one_call(0)  # compile
+            tc.compute_global_heat_map()
+            for i in range(reps):
                 t0 = time.perf_counter()
-                one_call()
+                one_call(i + 1)
                 # Force materialization of maps too (they are part of the
                 # traced deliverable).
                 tc.compute_global_heat_map()
                 times.append(time.perf_counter() - t0)
     else:
-        one_call()  # compile
-        for _ in range(reps):
+        one_call(0)  # compile
+        for i in range(reps):
             t0 = time.perf_counter()
-            one_call()
+            one_call(i + 1)
             times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
@@ -57,7 +65,7 @@ def run_config(pipe, prompt, steps, batch, traced, reps, height, width, key):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--model', default='v2-1-base')
-    parser.add_argument('--steps', type=int, default=10)
+    parser.add_argument('--steps', type=int, default=50)
     parser.add_argument('--batch', type=int, default=1)
     parser.add_argument('--reps', type=int, default=3)
     parser.add_argument('--image-size', type=int, default=None)

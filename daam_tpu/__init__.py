@@ -23,4 +23,10 @@ def __getattr__(name):
     if name == 'StableDiffusionXLPipeline':
         from .pipeline.sdxl import StableDiffusionXLPipeline
         return StableDiffusionXLPipeline
+    if name == 'DiffusionPipeline':
+        # Familiar alias for users coming from the reference stack:
+        # ``DiffusionPipeline.from_pretrained(...)`` dispatches to the right
+        # pipeline class from the checkpoint/preset.
+        from .pipeline.sd import StableDiffusionPipeline
+        return StableDiffusionPipeline
     raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

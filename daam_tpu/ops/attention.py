@@ -79,18 +79,25 @@ def cross_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    capture: bool = False,
+    capture=False,
     replay_probs: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Text cross-attention with optional probability side-output / replay.
 
-    Returns ``(out, probs)`` where ``probs`` is the full fp32 probability
-    tensor ``(B, H, Lq, Lk)`` when ``capture`` (else ``None``).  When
-    ``replay_probs`` is given, it *replaces* the computed probabilities before
-    the value contraction — the attention-transplant counterfactual
-    (reference ``daam/trace.py:281-282``) — and is also what gets captured.
+    ``capture`` ∈ {False, 'cond', 'full', True}.  Returns ``(out, probs)``
+    where ``probs`` is the probability tensor ``(B, H, Lq, Lk)`` when
+    capturing (else ``None``).  ``'cond'`` is the heat-map fast path: only the
+    conditional CFG half (batch rows ``B/2:``) carries defined probabilities,
+    in bf16 — halving the side-output bandwidth that constitutes DAAM's
+    tracing overhead.  ``'full'``/``True`` captures every row (needed for
+    ``save_heads`` replay).  When ``replay_probs`` is given, it *replaces* the
+    computed probabilities before the value contraction — the
+    attention-transplant counterfactual (reference ``daam/trace.py:281-282``).
     """
     scale = q.shape[-1] ** -0.5
+    if capture is True:
+        capture = 'full'
+
     if replay_probs is not None:
         probs = replay_probs.astype(jnp.float32)
         out = jnp.einsum('bhqk,bhkd->bhqd', probs.astype(v.dtype), v)
@@ -98,10 +105,14 @@ def cross_attention(
 
     if capture and _use_pallas(q.shape[2], k.shape[2], q.shape[3]):
         from .pallas_attention import cross_attention_probs
-        return cross_attention_probs(q, k, v)
+        return cross_attention_probs(
+            q, k, v, cond_only=(capture == 'cond'),
+            probs_dtype=jnp.bfloat16 if capture == 'cond' else jnp.float32)
 
     if capture or not _use_pallas(q.shape[2], k.shape[2], q.shape[3]):
         out, probs = _jnp_attention(q, k, v, scale)
+        if capture == 'cond':
+            probs = probs.astype(jnp.bfloat16)
         return out, (probs if capture else None)
 
     from .pallas_attention import flash_self_attention

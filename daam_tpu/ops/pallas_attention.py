@@ -110,7 +110,7 @@ def flash_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _cross_attn_kernel(q_ref, k_ref, v_ref, o_ref, p_ref, *, scale: float,
-                       lk_valid: int):
+                       lk_valid: int, skip_probs_below: int):
     q = q_ref[0]            # (TQ, hd)
     k = k_ref[0]            # (LK_pad, hd)
     v = v_ref[0]
@@ -124,21 +124,32 @@ def _cross_attn_kernel(q_ref, k_ref, v_ref, o_ref, p_ref, *, scale: float,
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     p = p / denom
-    p_ref[0] = p.astype(p_ref.dtype)
+
+    # CFG batches lay out [uncond; cond]; DAAM only needs the conditional
+    # half's probabilities — skip the HBM write for the rest.
+    @pl.when(pl.program_id(0) >= skip_probs_below)
+    def _():
+        p_ref[0] = p.astype(p_ref.dtype)
+
     o_ref[0] = jax.lax.dot_general(p.astype(v.dtype), v,
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32
                                    ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('q_tile',))
+@functools.partial(jax.jit, static_argnames=('q_tile', 'cond_only',
+                                             'probs_dtype'))
 def cross_attention_probs(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          q_tile: int = 512
+                          q_tile: int = 512, cond_only: bool = False,
+                          probs_dtype=jnp.float32
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cross-attention returning ``(O, P)`` in one fused pass.
 
     ``q``: (B, H, Lq, hd); ``k``/``v``: (B, H, Lk, hd) with Lk = text length
-    (77).  ``P`` comes back as (B, H, Lq, Lk) fp32 — the DAAM capture tensor.
+    (77).  ``P`` comes back as (B, H, Lq, Lk) — the DAAM capture tensor.
+    With ``cond_only`` (CFG layout [uncond; cond]) only the second half of the
+    batch gets its probabilities written (the rest of P is unspecified) —
+    halving the side-output bandwidth, which is the tracing overhead.
     """
     B, H, Lq, hd = q.shape
     Lk = k.shape[2]
@@ -154,12 +165,14 @@ def cross_attention_probs(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if L_pad != Lq:
         qf = jnp.pad(qf, ((0, 0), (0, L_pad - Lq), (0, 0)))
 
+    skip_below = (B // 2) * H if cond_only else 0
     grid = (B * H, L_pad // TQ)
     out, probs = pl.pallas_call(
-        functools.partial(_cross_attn_kernel, scale=scale, lk_valid=Lk),
+        functools.partial(_cross_attn_kernel, scale=scale, lk_valid=Lk,
+                          skip_probs_below=skip_below),
         out_shape=(
             jax.ShapeDtypeStruct((B * H, L_pad, hd), q.dtype),
-            jax.ShapeDtypeStruct((B * H, L_pad, LK_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, L_pad, LK_pad), probs_dtype),
         ),
         grid=grid,
         in_specs=[

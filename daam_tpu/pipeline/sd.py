@@ -159,7 +159,7 @@ class StableDiffusionPipeline:
             w = latent_w // info.downscale
             p = probs[batch_size:]  # conditional half (CFG filter,
             #                         reference daam/trace.py:240)
-            p = p.transpose(0, 1, 3, 2)
+            p = p.astype(jnp.float32).transpose(0, 1, 3, 2)
             return p.reshape(batch_size, info.heads, -1, h, w)
 
         def encode_text(params, input_ids, neg_input_ids):
@@ -171,7 +171,13 @@ class StableDiffusionPipeline:
 
         def sample(params, context, added, key, guidance_scale, replay=None):
             from ..parallel.mesh import constraint as shard_constraint
-            latents = jax.random.normal(key, latent_shape, dtype=jnp.float32)
+            if key.ndim == 2:
+                # one PRNG key per sample (batched per-experiment seeds)
+                latents = jax.vmap(
+                    lambda k: jax.random.normal(k, latent_shape[1:],
+                                                dtype=jnp.float32))(key)
+            else:
+                latents = jax.random.normal(key, latent_shape, dtype=jnp.float32)
             latents = latents * scheduler.init_noise_sigma
             latents = shard_constraint(latents, 'data', None, None, None)
             sched_state = scheduler.init_state(num_steps, latent_shape,
@@ -186,10 +192,16 @@ class StableDiffusionPipeline:
                 rep = None
                 if load_heads:
                     rep = {name: replay[name][i] for name in replay}
+                # 'cond' capture (bf16, conditional-half-only side output) is
+                # the low-overhead heat-map path; save_heads needs every CFG
+                # row for replay.
+                capture_mode = False
+                if capture or save_heads:
+                    capture_mode = 'full' if save_heads else 'cond'
                 eps, probs = self.unet_module.apply(
                     {'params': params['unet']}, latent_in,
                     jnp.full((2 * batch_size,), t), context,
-                    added_cond=added, capture=capture or save_heads,
+                    added_cond=added, capture=capture_mode,
                     replay=rep)
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)

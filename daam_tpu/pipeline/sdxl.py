@@ -33,11 +33,23 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         self.tokenizer_2 = tokenizer_2 or default_tokenizer(pad_id=0)
         self.text_encoder_2 = CLIPTextEncoder(config.text_2, dtype=dtype)
 
+    def _encode_tokens(self, prompts):
+        """(B, 2, 77): per-encoder ids (the two CLIP tokenizers differ in
+        padding — CLIP-L pads with <|endoftext|>, OpenCLIP with 0)."""
+        import numpy as np
+
+        ids_1 = self.tokenizer(list(prompts), padding='max_length',
+                               truncation=True, return_tensors='np')['input_ids']
+        ids_2 = self.tokenizer_2(list(prompts), padding='max_length',
+                                 truncation=True, return_tensors='np')['input_ids']
+        return np.stack([ids_1, ids_2], axis=1).astype(np.int32)
+
     def _text_forward(self, params, input_ids):
+        ids_1, ids_2 = input_ids[:, 0], input_ids[:, 1]
         hidden_1, _ = self.text_encoder.apply(
-            {'params': params['text_encoder']}, input_ids, penultimate=True)
+            {'params': params['text_encoder']}, ids_1, penultimate=True)
         hidden_2, pooled_2 = self.text_encoder_2.apply(
-            {'params': params['text_encoder_2']}, input_ids, penultimate=True)
+            {'params': params['text_encoder_2']}, ids_2, penultimate=True)
         context = jnp.concatenate([hidden_1, hidden_2], axis=-1)
         return context, pooled_2
 

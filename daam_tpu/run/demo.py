@@ -19,6 +19,7 @@ from pathlib import Path
 from threading import Lock
 import argparse
 import base64
+import html as html_mod
 import io
 import json
 import time
@@ -138,7 +139,7 @@ def make_app(pipe, default_seed: int):
                steps=10, random_seed=False, results=''):
         adjectives = [''] + [t.text for t in cached_nlp(prompt) if t.pos_ == 'ADJ']
         return PAGE.format(
-            prompt=prompt,
+            prompt=html_mod.escape(prompt),
             examples=''.join(f'<option value="{e}">{e}</option>' for e in EXAMPLES),
             adjectives=''.join(f'<option value="{a}">{a}</option>' for a in adjectives),
             new_adj=new_adj,
@@ -176,18 +177,19 @@ def make_app(pipe, default_seed: int):
                                 generator=gen)
                     image2 = out2.images[0]
 
+        esc = html_mod.escape
         html = ['<h3>Images</h3><div class="grid">']
         html.append(f'<div class="cell"><img src="data:image/png;base64,'
-                    f'{_img_to_b64(image)}"/><br/>{prompt}</div>')
+                    f'{_img_to_b64(image)}"/><br/>{esc(prompt)}</div>')
         if image2 is not None:
             html.append(f'<div class="cell"><img src="data:image/png;base64,'
-                        f'{_img_to_b64(image2)}"/><br/>{new_prompt} '
+                        f'{_img_to_b64(image2)}"/><br/>{esc(new_prompt)} '
                         f'(transplanted attention)</div>')
         html.append('</div><h3>DAAM maps</h3><div class="grid">')
         for parsed in heat_map.parsed_heat_maps():
             b64 = _overlay_b64(image, parsed.word_heat_map)
             html.append(f'<div class="cell"><img src="data:image/png;base64,'
-                        f'{b64}"/><br/>{parsed.token.text}</div>')
+                        f'{b64}"/><br/>{esc(parsed.token.text)}</div>')
         html.append('</div>')
         return prompt, ''.join(html)
 

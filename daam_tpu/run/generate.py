@@ -245,7 +245,10 @@ def main(argv=None):
             chunk_prompts.append((str(prompt_id), prompt, seed))
             chunk_seeds.append(seed)
 
-        gen = set_seed(chunk_seeds[0])
+        # One PRNG key per sample: a prompt's noise depends only on its own
+        # seed, so regeneration reproduces exactly at any --batch-size.
+        import jax.numpy as jnp
+        gen = jnp.stack([set_seed(s) for s in chunk_seeds])
         batch = [p for _, p, _ in chunk_prompts]
         with trace(pipe, low_memory=args.low_memory, save_heads=args.save_heads,
                    load_heads=args.load_heads) as tc:

@@ -89,6 +89,7 @@ class DiffusionHeatMapHooker(AggregateHooker):
         self._located = self.locator.locate(pipeline.unet)
         self.batch_heat_maps: Dict[int, Any] = {}  # factor -> (B, L, H, T, h, w)
         self._layer_ids_by_factor: Dict[int, Tuple[int, ...]] = {}
+        self._agg_cache: Dict[Any, Any] = {}  # jitted aggregation programs
 
         super().__init__([PipelineHooker(pipeline, self)])
 
@@ -230,9 +231,6 @@ class DiffusionHeatMapHooker(AggregateHooker):
             factors = set(factors)
 
         x = int(math.sqrt(self.latent_hw))
-        merge_sums = []
-        merge_counts = 0
-
         source = self.batch_heat_maps
         if not source:
             if head_idx is not None or layer_idx is not None:
@@ -240,37 +238,62 @@ class DiffusionHeatMapHooker(AggregateHooker):
             raise RuntimeError('No heat maps found. Did you forget to call '
                                '`with trace(...)` during generation?')
 
-        for factor, block in source.items():
+        # Static selection plan (factor -> (local layer slice, head slice));
+        # the actual math runs as one jitted program (eager per-op dispatch is
+        # expensive over a remote-TPU link).
+        plan = []
+        for factor in sorted(source):
             if factors is not None and factor not in factors:
                 continue
             layer_ids = self._layer_ids_by_factor[factor]
-            sel = block[batch_idx]  # (L, H, T, h, w)
+            block_shape = source[factor].shape
+            l_sel = None
             if layer_idx is not None:
                 if layer_idx not in layer_ids:
                     continue
-                sel = sel[layer_ids.index(layer_idx)][None]
-            if head_idx is not None:
-                if head_idx >= sel.shape[1]:
-                    continue
-                sel = sel[:, head_idx:head_idx + 1]
-            L, H, T = sel.shape[:3]
-            # Upsample the whole block at once (two MXU matmuls), clamp the
-            # bicubic undershoot like reference ``daam/trace.py:116``.
-            up = bicubic_resize(sel.astype(jnp.float32), (x, x), clamp_min=0.0)
-            merge_sums.append(up.sum(axis=(0, 1)))
-            merge_counts += L * H
+                l_sel = layer_ids.index(layer_idx)
+            if head_idx is not None and head_idx >= block_shape[2]:
+                continue
+            plan.append((factor, l_sel))
 
-        if merge_counts == 0:
+        if not plan:
             if head_idx is not None or layer_idx is not None:
                 raise RuntimeError('No heat maps found for the given parameters.')
             raise RuntimeError('No heat maps found. Did you forget to call '
                                '`with trace(...)` during generation?')
 
-        maps = sum(merge_sums) / merge_counts  # (T, x, x)
+        shapes_key = tuple((f, source[f].shape) for f, _ in plan)
+        agg_key = (shapes_key, tuple(plan), head_idx, x)
+        if agg_key not in self._agg_cache:
+            import jax
+
+            plan_static = tuple(plan)
+            h_idx = head_idx
+
+            def aggregate(blocks, batch_i):
+                total = 0.0
+                count = 0
+                for factor, l_sel in plan_static:
+                    sel = blocks[factor][batch_i]  # (L, H, T, h, w)
+                    if l_sel is not None:
+                        sel = sel[l_sel:l_sel + 1]
+                    if h_idx is not None:
+                        sel = sel[:, h_idx:h_idx + 1]
+                    up = bicubic_resize(sel.astype(jnp.float32), (x, x),
+                                        clamp_min=0.0)
+                    total = total + up.sum(axis=(0, 1))
+                    count += sel.shape[0] * sel.shape[1]
+                return total / count  # (T, x, x)
+
+            self._agg_cache[agg_key] = jax.jit(aggregate)
+
+        maps = self._agg_cache[agg_key](
+            {f: source[f] for f, _ in plan}, batch_idx)
         n_tokens = len(self.pipe.tokenizer.tokenize(prompt))
         maps = maps[:n_tokens + 2]  # +1 SOS, +1 padding (ref trace.py:127)
 
         if normalize:
+            # over real tokens only, after truncation (ref trace.py:129-130)
             maps = maps / (maps[1:-1].sum(0, keepdims=True) + 1e-6)
 
         return GlobalHeatMap(self.pipe.tokenizer, prompt, maps)
