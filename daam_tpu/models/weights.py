@@ -23,7 +23,8 @@ from .configs import PipelineConfig, get_pipeline_config
 from .unet import UNet2DConditionModel
 from .vae import AutoencoderKL
 
-__all__ = ['init_random_params', 'load_diffusers_checkpoint']
+__all__ = ['init_random_params', 'load_diffusers_checkpoint', 'save_params',
+           'load_params']
 
 
 def init_random_params(config: PipelineConfig, seed: int = 0,
@@ -63,7 +64,51 @@ def init_random_params(config: PipelineConfig, seed: int = 0,
     params['vae'] = jax.jit(
         lambda k, z: vae.init(k, z, method=AutoencoderKL.decode)
     )(k_vae, dummy_z)['params']
+
+    if dtype != jnp.float32:
+        # Store params in the compute dtype: flax init yields fp32 regardless
+        # of module dtype, and fp32 SDXL (~14 GB) overflows a 16 GB chip.
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params)
     return params
+
+
+# --------------------------------------------------------------------------
+# native param checkpointing (convert once, load fast afterwards)
+# --------------------------------------------------------------------------
+
+def _flatten(tree, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield '/'.join(prefix + (k,)), v
+
+
+def save_params(params: Dict[str, Any], path) -> None:
+    """Save a parameter pytree as a single .npz (flat slash-joined keys).
+
+    Prefer orbax for sharded/async checkpoints of very large models; this is
+    the simple portable format for single-host use."""
+    arrays = {k: np.asarray(v) for k, v in _flatten(params)}
+    np.savez(path, **arrays)
+
+
+def load_params(path, dtype=None) -> Dict[str, Any]:
+    """Load a pytree saved by :func:`save_params`."""
+    data = np.load(path)
+    tree: Dict[str, Any] = {}
+    for flat_key in data.files:
+        node = tree
+        parts = flat_key.split('/')
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        arr = jnp.asarray(data[flat_key])
+        if dtype is not None and np.issubdtype(data[flat_key].dtype, np.floating):
+            arr = arr.astype(dtype)
+        node[parts[-1]] = arr
+    return tree
 
 
 # --------------------------------------------------------------------------
