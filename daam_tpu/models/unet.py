@@ -68,7 +68,7 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype,
                          name='norm1')(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
@@ -76,7 +76,7 @@ class ResnetBlock2D(nn.Module):
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name='time_emb_proj')(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype,
                          name='norm2')(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
@@ -179,7 +179,7 @@ class Transformer2DModel(nn.Module):
                  name_prefix: str = ''):
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
                          name='norm')(x).astype(self.dtype)
         if self.use_linear_projection:
             h = h.reshape(B, H * W, C)
@@ -390,7 +390,7 @@ class UNet2DConditionModel(nn.Module):
                 h = Upsample2D(ch, dtype=self.dtype,
                                name=f'up_{level}_upsample')(h)
 
-        h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=self.dtype,
                          name='conv_norm_out')(h)
         h = nn.silu(h).astype(self.dtype)
         eps = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),

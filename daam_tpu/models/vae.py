@@ -25,12 +25,12 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
                          name='norm1')(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name='conv1')(h)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
                          name='norm2')(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
@@ -50,7 +50,7 @@ class VAEAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
                          name='group_norm')(x).astype(self.dtype)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name='to_q')(h)
@@ -86,7 +86,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(ch, groups=g, dtype=self.dtype, name='mid_resnet_0')(h)
         h = VAEAttentionBlock(groups=g, dtype=self.dtype, name='mid_attn')(h)
         h = VAEResnetBlock(ch, groups=g, dtype=self.dtype, name='mid_resnet_1')(h)
-        h = nn.GroupNorm(num_groups=g, epsilon=1e-6, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=g, epsilon=1e-6, dtype=self.dtype,
                          name='conv_norm_out')(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
@@ -123,7 +123,7 @@ class Decoder(nn.Module):
                 h = nn.Conv(C, (3, 3), padding=((1, 1), (1, 1)),
                             dtype=self.dtype, name=f'up_{level}_upsample')(h)
 
-        h = nn.GroupNorm(num_groups=g, epsilon=1e-6, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=g, epsilon=1e-6, dtype=self.dtype,
                          name='conv_norm_out')(h)
         h = nn.silu(h).astype(self.dtype)
         return nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
