@@ -81,6 +81,12 @@ class StableDiffusionPipeline:
         self.vae_scale_factor = config.vae.scale_factor
         self.image_processor = None
 
+        # Tiled VAE decode: splits big latents into overlapping tiles so the
+        # decoder's workspace stays bounded (1024-px decode alongside the UNet
+        # otherwise exhausts a 16 GB chip).  Auto-on for latent edges > this.
+        self.vae_tile_threshold = 96
+        self.vae_tiling = 'auto'  # 'auto' | True | False
+
         # Trace integration (installed by daam_tpu.trace; None = untraced).
         self._active_trace = None
         self._jit_cache: Dict[Any, Any] = {}
@@ -231,6 +237,10 @@ class StableDiffusionPipeline:
                                     method=AutoencoderKL.decode)
             return jnp.clip(images / 2 + 0.5, 0.0, 1.0)
 
+        use_tiling = (self.vae_tiling is True or
+                      (self.vae_tiling == 'auto' and
+                       max(latent_h, latent_w) > self.vae_tile_threshold))
+
         # Stage-level jit: text and decode keyed only by (B, H, W) so all
         # capture variants share their compilations.
         text_key = ('text', batch_size, height, width)
@@ -238,7 +248,11 @@ class StableDiffusionPipeline:
         if text_key not in self._jit_cache:
             self._jit_cache[text_key] = jax.jit(encode_text)
         if decode_key not in self._jit_cache:
-            self._jit_cache[decode_key] = jax.jit(decode)
+            if use_tiling:
+                self._jit_cache[decode_key] = self._build_tiled_decode(
+                    batch_size, latent_h, latent_w)
+            else:
+                self._jit_cache[decode_key] = jax.jit(decode)
         jit_text = self._jit_cache[text_key]
         jit_sample = jax.jit(sample)
         jit_decode = self._jit_cache[decode_key]
@@ -253,6 +267,77 @@ class StableDiffusionPipeline:
             return images, accs, saved
 
         return generate
+
+    def _build_tiled_decode(self, batch_size: int, latent_h: int,
+                            latent_w: int, tile: int = 64, overlap: int = 16):
+        """Tiled VAE decode: one compiled program per tile shape, linear
+        blending over the overlap bands.  Bounds the decoder's activation
+        workspace for large (SDXL 1024-px) outputs; same technique as the SD
+        ecosystem's tiled VAE (tiles attend only within themselves in the
+        decoder's mid-block — visually negligible)."""
+        import numpy as np_host
+
+        sf = self.vae_scale_factor
+        tile_h = min(tile, latent_h)
+        tile_w = min(tile, latent_w)
+
+        def positions(size, t):
+            stride = max(t - overlap, 1)
+            pos = list(range(0, max(size - t, 0) + 1, stride))
+            if not pos or pos[-1] + t < size:
+                pos.append(size - t)
+            return sorted(set(p for p in pos if p >= 0))
+
+        rows = positions(latent_h, tile_h)
+        cols = positions(latent_w, tile_w)
+
+        @jax.jit
+        def decode_tile(params, tile_z):
+            scaled = tile_z / self.config.vae.scaling_factor
+            img = self.vae.apply({'params': params['vae']}, scaled,
+                                 method=AutoencoderKL.decode)
+            return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+        # Pixel-space blend ramp for one tile (edges that touch another tile
+        # ramp linearly over overlap*sf pixels).
+        def tile_weight(r, c):
+            wy = np_host.ones(tile_h * sf, dtype=np_host.float32)
+            wx = np_host.ones(tile_w * sf, dtype=np_host.float32)
+            band = min(overlap, tile_h - 1, tile_w - 1) * sf
+            ramp = (np_host.arange(band) + 1) / float(band + 1)
+            if r != rows[0]:
+                wy[:band] = ramp
+            if r != rows[-1]:
+                wy[-band:] = ramp[::-1]
+            if c != cols[0]:
+                wx[:band] = ramp
+            if c != cols[-1]:
+                wx[-band:] = ramp[::-1]
+            return (wy[:, None] * wx[None, :])[None, :, :, None]
+
+        def tiled_decode(params, latents):
+            H, W = latent_h * sf, latent_w * sf
+            out = jnp.zeros((batch_size, H, W, 3), jnp.float32)
+            norm = jnp.zeros((1, H, W, 1), jnp.float32)
+            for r in rows:
+                for c in cols:
+                    tz = latents[:, r:r + tile_h, c:c + tile_w]
+                    img = decode_tile(params, tz)
+                    w = jnp.asarray(tile_weight(r, c))
+                    out = out.at[:, r * sf:(r + tile_h) * sf,
+                                 c * sf:(c + tile_w) * sf].add(img * w)
+                    norm = norm.at[:, r * sf:(r + tile_h) * sf,
+                                   c * sf:(c + tile_w) * sf].add(w)
+            return out / jnp.maximum(norm, 1e-8)
+
+        return tiled_decode
+
+    def enable_vae_tiling(self, enabled: bool = True):
+        """Force tiled VAE decode on/off ('auto' enables it for latent edges
+        above ``vae_tile_threshold``)."""
+        self.vae_tiling = enabled
+        self._jit_cache = {k: v for k, v in self._jit_cache.items()
+                           if not (isinstance(k, tuple) and k and k[0] == 'decode')}
 
     def _merge_added(self, added_uncond, added_cond, height, width):
         return None  # SD has no added conditioning (SDXL overrides)
