@@ -31,10 +31,16 @@ def init_random_params(config: PipelineConfig, seed: int = 0,
                        dtype=jnp.float32) -> Dict[str, Any]:
     """Random params for every module of the pipeline (real architecture).
 
-    Each module's ``init`` is jitted: an eager init dispatches thousands of
-    tiny ops (pathological over a remote-TPU tunnel); jitted, it is one
-    compiled program per module.
+    Each module's ``init`` is jitted (an eager init dispatches thousands of
+    tiny ops — pathological over a remote-TPU tunnel).  For non-fp32 target
+    dtypes the init runs on the host CPU backend and only the cast params are
+    shipped to the accelerator: initializing fp32 on-device and casting there
+    doubles peak memory and fragments the arena (SDXL then OOMs despite
+    fitting comfortably in bf16).
     """
+    if dtype != jnp.float32:
+        return _init_random_params_host(config, seed=seed, dtype=dtype)
+
     key = jax.random.PRNGKey(seed)
     k_text, k_text2, k_unet, k_vae = jax.random.split(key, 4)
 
@@ -65,13 +71,78 @@ def init_random_params(config: PipelineConfig, seed: int = 0,
         lambda k, z: vae.init(k, z, method=AutoencoderKL.decode)
     )(k_vae, dummy_z)['params']
 
-    if dtype != jnp.float32:
-        # Store params in the compute dtype: flax init yields fp32 regardless
-        # of module dtype, and fp32 SDXL (~14 GB) overflows a 16 GB chip.
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            params)
     return params
+
+
+def _init_random_params_host(config: PipelineConfig, seed: int,
+                             dtype) -> Dict[str, Any]:
+    """Random params built on the host and shipped in the target dtype.
+
+    ``jax.eval_shape`` gives the parameter structure without touching the
+    accelerator; leaves are filled with numpy normals and device_put in
+    ``dtype``, so device peak memory is exactly the final parameter size.
+    (Initializing fp32 on-device and casting doubles the peak and fragments
+    the arena — SDXL then OOMs despite fitting comfortably in bf16.)
+    """
+    key = jax.random.PRNGKey(seed)
+    k_text, k_text2, k_unet, k_vae = jax.random.split(key, 4)
+
+    dummy_ids = jnp.zeros((1, 77), dtype=jnp.int32)
+    shapes: Dict[str, Any] = {}
+
+    text = CLIPTextEncoder(config.text, dtype=dtype)
+    shapes['text_encoder'] = jax.eval_shape(text.init, k_text, dummy_ids)['params']
+
+    added = None
+    if config.is_sdxl:
+        text2 = CLIPTextEncoder(config.text_2, dtype=dtype)
+        shapes['text_encoder_2'] = jax.eval_shape(text2.init, k_text2,
+                                                  dummy_ids)['params']
+        pooled_dim = config.text_2.projection_dim or config.text_2.hidden_size
+        added = {'text_embeds': jnp.zeros((1, pooled_dim)),
+                 'time_ids': jnp.zeros((1, 6))}
+
+    unet = UNet2DConditionModel(config.unet, dtype=dtype)
+    s = config.unet.sample_size
+    shapes['unet'] = jax.eval_shape(
+        lambda k, a, b, c: unet.init(k, a, b, c, added_cond=added),
+        k_unet, jnp.zeros((1, s, s, config.unet.in_channels)),
+        jnp.zeros((1,), dtype=jnp.int32),
+        jnp.zeros((1, 77, config.unet.cross_attention_dim)))['params']
+
+    vae = AutoencoderKL(config.vae, dtype=dtype)
+    shapes['vae'] = jax.eval_shape(
+        lambda k, z: vae.init(k, z, method=AutoencoderKL.decode),
+        k_vae, jnp.zeros((1, s, s, config.vae.latent_channels)))['params']
+
+    rng = np.random.RandomState(seed & 0xFFFFFFFF)
+
+    def fill(leaf):
+        shape = leaf.shape
+        if np.issubdtype(leaf.dtype, np.floating):
+            if len(shape) <= 1:
+                arr = np.zeros(shape, np.float32)  # biases / norm offsets
+            else:
+                fan_in = int(np.prod(shape[:-1])) or 1
+                arr = rng.normal(0.0, (1.0 / fan_in) ** 0.5,
+                                 size=shape).astype(np.float32)
+            return jnp.asarray(arr.astype(jax.dtypes.canonicalize_dtype(dtype)))
+        return jnp.zeros(shape, leaf.dtype)
+
+    def fill_tree(tree, path=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = fill_tree(v, path + (k,))
+            else:
+                name = (path + (k,))[-1]
+                if name in ('scale',):  # norm scales start at 1
+                    out[k] = jnp.ones(v.shape, dtype)
+                else:
+                    out[k] = fill(v)
+        return out
+
+    return fill_tree(shapes)
 
 
 # --------------------------------------------------------------------------
