@@ -1,0 +1,36 @@
+"""Remaining utils surface: auto_device, auto_autocast, cache_dir, plot_mask."""
+
+import numpy as np
+
+from daam_tpu.utils import (auto_autocast, auto_device, cache_dir,
+                            plot_mask_heat_map)
+
+
+def test_auto_device_returns_device():
+    dev = auto_device()
+    assert hasattr(dev, 'platform')
+
+
+def test_auto_device_commits_array():
+    import jax.numpy as jnp
+    x = auto_device(jnp.ones((2, 2)))
+    assert np.asarray(x).sum() == 4
+
+
+def test_auto_autocast_noop_context():
+    with auto_autocast(dtype='whatever', enabled=True) as ctx:
+        assert ctx is not None
+
+
+def test_cache_dir_is_path():
+    d = cache_dir()
+    assert d.name == 'daam_tpu'
+
+
+def test_plot_mask_heat_map_runs():
+    import matplotlib
+    matplotlib.use('Agg')
+    import PIL.Image
+    im = PIL.Image.new('RGB', (8, 8), (100, 0, 0))
+    hm = np.random.RandomState(0).rand(8, 8)
+    plot_mask_heat_map(im, hm, threshold=0.5)  # should not raise
