@@ -64,6 +64,12 @@ def main():
     key = jax.random.PRNGKey(0)
     n_inputs = args.reps + 1
 
+    added = None
+    if config.is_sdxl:
+        pooled_dim = config.text_2.projection_dim or config.text_2.hidden_size
+        added = {'text_embeds': jnp.zeros((B, pooled_dim)),
+                 'time_ids': jnp.zeros((B, 6))}
+
     def inputs_for(i):
         k = jax.random.fold_in(key, i)
         latents = jax.random.normal(k, (B, s, s, 4), dtype=jnp.float32)
@@ -78,11 +84,11 @@ def main():
 
     @jax.jit
     def step_plain(p, x, tt, c):
-        return unet.apply({'params': p}, x, tt, c)[0]
+        return unet.apply({'params': p}, x, tt, c, added_cond=added)[0]
 
     @jax.jit
     def step_capture(p, x, tt, c):
-        eps, probs = unet.apply({'params': p}, x, tt, c, capture='cond')
+        eps, probs = unet.apply({'params': p}, x, tt, c, added_cond=added, capture='cond')
         return eps, probs
 
     arglists = [(params['unet'],) + inp for inp in all_inputs]
@@ -98,7 +104,7 @@ def main():
 
     @jax.jit
     def step_jnp(p, x, tt, c):
-        return unet.apply({'params': p}, x, tt, c)[0]
+        return unet.apply({'params': p}, x, tt, c, added_cond=added)[0]
 
     t_jnp = bench_fn(step_jnp, arglists)
     print(f'unet jnp attn   : {t_jnp * 1e3:8.2f} ms  '
