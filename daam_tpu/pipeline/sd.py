@@ -291,13 +291,6 @@ class StableDiffusionPipeline:
         rows = positions(latent_h, tile_h)
         cols = positions(latent_w, tile_w)
 
-        @jax.jit
-        def decode_tile(params, tile_z):
-            scaled = tile_z / self.config.vae.scaling_factor
-            img = self.vae.apply({'params': params['vae']}, scaled,
-                                 method=AutoencoderKL.decode)
-            return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
-
         # Pixel-space blend ramp for one tile (edges that touch another tile
         # ramp linearly over overlap*sf pixels).
         def tile_weight(r, c):
@@ -315,19 +308,33 @@ class StableDiffusionPipeline:
                 wx[-band:] = ramp[::-1]
             return (wy[:, None] * wx[None, :])[None, :, :, None]
 
+        grid = [(r, c) for r in rows for c in cols]
+        weights = np_host.stack([tile_weight(r, c) for r, c in grid])
+
+        @jax.jit
         def tiled_decode(params, latents):
+            # One program: all tiles decode as a batch (workspace bounded by
+            # the tile size), blend fused on device — no eager stitching.
+            tiles = jnp.stack([latents[:, r:r + tile_h, c:c + tile_w]
+                               for r, c in grid], axis=0)
+            T = len(grid)
+            tb = tiles.reshape(T * batch_size, tile_h, tile_w,
+                               latents.shape[-1])
+            scaled = tb / self.config.vae.scaling_factor
+            imgs = self.vae.apply({'params': params['vae']}, scaled,
+                                  method=AutoencoderKL.decode)
+            imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+            imgs = imgs.reshape(T, batch_size, tile_h * sf, tile_w * sf, 3)
+
             H, W = latent_h * sf, latent_w * sf
             out = jnp.zeros((batch_size, H, W, 3), jnp.float32)
             norm = jnp.zeros((1, H, W, 1), jnp.float32)
-            for r in rows:
-                for c in cols:
-                    tz = latents[:, r:r + tile_h, c:c + tile_w]
-                    img = decode_tile(params, tz)
-                    w = jnp.asarray(tile_weight(r, c))
-                    out = out.at[:, r * sf:(r + tile_h) * sf,
-                                 c * sf:(c + tile_w) * sf].add(img * w)
-                    norm = norm.at[:, r * sf:(r + tile_h) * sf,
-                                   c * sf:(c + tile_w) * sf].add(w)
+            w_const = jnp.asarray(weights)
+            for i, (r, c) in enumerate(grid):
+                out = out.at[:, r * sf:(r + tile_h) * sf,
+                             c * sf:(c + tile_w) * sf].add(imgs[i] * w_const[i])
+                norm = norm.at[:, r * sf:(r + tile_h) * sf,
+                               c * sf:(c + tile_w) * sf].add(w_const[i])
             return out / jnp.maximum(norm, 1e-8)
 
         return tiled_decode
