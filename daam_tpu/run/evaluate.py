@@ -3,13 +3,39 @@
 TPU-native counterpart of reference ``daam/run/evaluate.py``: walks experiment
 directories containing ground-truth masks, loads prediction masks by prefix,
 and reports labeled / unlabeled / Hungarian mIoU in the reference's format.
+Organized as a config dataclass plus one scoring function per eval mode.
 """
 
+from dataclasses import dataclass, field
 from pathlib import Path
+from typing import Iterator, List, Optional
 import argparse
 
 from ..evaluate import MeanEvaluator, UnsupervisedEvaluator
 from ..experiment import GenerationExperiment, COCOSTUFF27_LABELS, COCO80_LABELS
+
+
+@dataclass
+class EvalConfig:
+    input_folder: str
+    pred_prefix: str = 'daam'
+    mask_type: str = 'word'          # 'word' | 'composite'
+    eval_type: str = 'labeled'       # 'labeled' | 'unlabeled' | 'hungarian'
+    restrict_set: str = 'none'       # 'none' | 'coco27' | 'coco80'
+    subtype: str = '.'
+    vocab: List[str] = field(default_factory=list)
+
+    @property
+    def simplify80(self) -> bool:
+        return self.restrict_set == 'coco27'
+
+    @property
+    def composite(self) -> bool:
+        return self.mask_type == 'composite'
+
+    @property
+    def restricted(self) -> bool:
+        return self.restrict_set != 'none'
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -26,67 +52,107 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
+def iter_experiment_dirs(root: str) -> Iterator[Path]:
+    """Experiment directories under ``root`` that have ground-truth masks."""
+    for path in sorted(Path(root).glob('*')):
+        if path.is_dir() and GenerationExperiment.contains_truth_mask(path):
+            yield path
 
-    evaluator = MeanEvaluator() if args.eval_type != 'hungarian' \
-        else UnsupervisedEvaluator()
-    simplify80 = False
-    vocab = []
 
-    if args.restrict_set == 'coco27':
-        simplify80 = True
-        vocab = COCOSTUFF27_LABELS
-    elif args.restrict_set == 'coco80':
-        vocab = COCO80_LABELS
+def load_experiment(path: Path, cfg: EvalConfig,
+                    with_vocab: bool = True) -> GenerationExperiment:
+    return GenerationExperiment.load(
+        path,
+        cfg.pred_prefix,
+        composite=cfg.composite,
+        simplify80=cfg.simplify80,
+        vocab=cfg.vocab if with_vocab else None,
+        subtype=cfg.subtype,
+    )
 
-    if not vocab:
-        # Auto-discover the vocabulary from the masks on disk
-        # (reference ``run/evaluate.py:30-46``).
-        for path in sorted(Path(args.input_folder).glob('*')):
-            if not path.is_dir() or not GenerationExperiment.contains_truth_mask(path):
-                continue
-            exp = GenerationExperiment.load(
-                path, args.pred_prefix,
-                composite=args.mask_type == 'composite',
-                simplify80=simplify80)
-            vocab.extend(exp.truth_masks)
-            vocab.extend(exp.prediction_masks)
-        vocab = sorted(set(vocab))
 
-    for path in sorted(Path(args.input_folder).glob('*')):
-        if not path.is_dir() or not GenerationExperiment.contains_truth_mask(path):
+def discover_vocab(cfg: EvalConfig) -> List[str]:
+    """Union of truth/prediction mask names across the corpus, sorted
+    (the reference's auto-vocab scan, ``daam/run/evaluate.py:30-46``)."""
+    seen = set()
+    for path in iter_experiment_dirs(cfg.input_folder):
+        exp = load_experiment(path, cfg, with_vocab=False)
+        seen.update(exp.truth_masks)
+        seen.update(exp.prediction_masks)
+    return sorted(seen)
+
+
+def resolve_vocab(cfg: EvalConfig) -> None:
+    if cfg.restrict_set == 'coco27':
+        cfg.vocab = list(COCOSTUFF27_LABELS)
+    elif cfg.restrict_set == 'coco80':
+        cfg.vocab = list(COCO80_LABELS)
+    else:
+        cfg.vocab = discover_vocab(cfg)
+
+
+def score_labeled(exp: GenerationExperiment, cfg: EvalConfig,
+                  ev: MeanEvaluator) -> None:
+    """Word-matched IoU + mean intensity per ground-truth mask."""
+    for word, truth in exp.truth_masks.items():
+        if cfg.restricted and word not in cfg.vocab:
             continue
-        exp = GenerationExperiment.load(
-            path, args.pred_prefix,
-            composite=args.mask_type == 'composite',
-            simplify80=simplify80, vocab=vocab, subtype=args.subtype)
+        pred = exp.prediction_masks.get(word)
+        if pred is None:
+            continue
+        ev.log_iou(pred, truth)
+        ev.log_intensity(pred)
 
-        if args.eval_type == 'labeled':
-            for word, mask in exp.truth_masks.items():
-                if word not in vocab and args.restrict_set != 'none':
-                    continue
-                try:
-                    evaluator.log_iou(exp.prediction_masks[word], mask)
-                    evaluator.log_intensity(exp.prediction_masks[word])
-                except KeyError:
-                    continue
-        elif args.eval_type == 'hungarian':
-            for gt_word, gt_mask in exp.truth_masks.items():
-                if gt_word not in vocab and args.restrict_set != 'none':
-                    continue
-                for pred_word, pred_mask in exp.prediction_masks.items():
-                    try:
-                        evaluator.log_iou(pred_mask, gt_mask,
-                                          vocab.index(gt_word),
-                                          vocab.index(pred_word))
-                    except (KeyError, ValueError):
-                        continue
-                evaluator.increment()
-        else:  # unlabeled
-            for word, mask in exp.truth_masks.items():
-                evaluator.log_iou(list(exp.prediction_masks.values()), mask)
 
+def score_unlabeled(exp: GenerationExperiment, cfg: EvalConfig,
+                    ev: MeanEvaluator) -> None:
+    """Best-of-all-predictions IoU against each ground truth."""
+    preds = list(exp.prediction_masks.values())
+    for truth in exp.truth_masks.values():
+        ev.log_iou(preds, truth)
+
+
+def score_hungarian(exp: GenerationExperiment, cfg: EvalConfig,
+                    ev: UnsupervisedEvaluator) -> None:
+    """Vocab-indexed IoU matrix entries for Hungarian matching."""
+    for gt_word, gt_mask in exp.truth_masks.items():
+        if cfg.restricted and gt_word not in cfg.vocab:
+            continue
+        for pred_word, pred_mask in exp.prediction_masks.items():
+            if gt_word not in cfg.vocab or pred_word not in cfg.vocab:
+                continue
+            ev.log_iou(pred_mask, gt_mask,
+                       gt_idx=cfg.vocab.index(gt_word),
+                       pred_idx=cfg.vocab.index(pred_word))
+        ev.increment()
+
+
+_SCORERS = {
+    'labeled': score_labeled,
+    'unlabeled': score_unlabeled,
+    'hungarian': score_hungarian,
+}
+
+
+def run_evaluation(cfg: EvalConfig):
+    resolve_vocab(cfg)
+    evaluator = (UnsupervisedEvaluator() if cfg.eval_type == 'hungarian'
+                 else MeanEvaluator())
+    scorer = _SCORERS[cfg.eval_type]
+    for path in iter_experiment_dirs(cfg.input_folder):
+        scorer(load_experiment(path, cfg), cfg, evaluator)
+    return evaluator
+
+
+def main(argv: Optional[list] = None):
+    args = build_parser().parse_args(argv)
+    cfg = EvalConfig(input_folder=args.input_folder,
+                     pred_prefix=args.pred_prefix,
+                     mask_type=args.mask_type,
+                     eval_type=args.eval_type,
+                     restrict_set=args.restrict_set,
+                     subtype=args.subtype)
+    evaluator = run_evaluation(cfg)
     print(evaluator)
     return evaluator
 
