@@ -67,7 +67,9 @@ def main(argv=None):
     parser.add_argument('--model', default='v2-1-base')
     parser.add_argument('--steps', type=int, default=50)
     parser.add_argument('--batch', type=int, default=1)
-    parser.add_argument('--reps', type=int, default=3)
+    # Median over several reps: per-call wall time through the remote-TPU
+    # relay varies ±5-10% run to run; more reps stabilize the ratio.
+    parser.add_argument('--reps', type=int, default=7)
     parser.add_argument('--image-size', type=int, default=None)
     parser.add_argument('--dtype', default='bfloat16')
     parser.add_argument('--scheduler', default='ddim')
