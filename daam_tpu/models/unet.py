@@ -101,7 +101,8 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, capture: bool = False,
-                 replay_probs: Optional[jnp.ndarray] = None):
+                 replay_probs: Optional[jnp.ndarray] = None,
+                 acc: Optional[jnp.ndarray] = None):
         B, L, _ = x.shape
         context = x if context is None else context
         head_dim = self.dim // self.heads
@@ -123,7 +124,7 @@ class Attention(nn.Module):
         probs = None
         if self.is_cross:
             out, probs = cross_attention(q, k, v, capture=capture,
-                                         replay_probs=replay_probs)
+                                         replay_probs=replay_probs, acc=acc)
         else:
             out = self_attention(q, k, v)
 
@@ -138,10 +139,12 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # GEGLU: project to 2*4*dim, gate with gelu.
+        # GEGLU: project to 2*4*dim, gate with exact (erf) gelu — diffusers'
+        # GEGLU uses F.gelu's exact form; the tanh approximation drifts ~1e-3.
         h = nn.Dense(self.dim * 8, dtype=self.dtype, name='proj_in')(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * jax.nn.gelu(gate)
+        h = h * jax.nn.gelu(gate.astype(jnp.float32),
+                            approximate=False).astype(h.dtype)
         return nn.Dense(self.dim, dtype=self.dtype, name='proj_out')(h)
 
 
@@ -151,14 +154,14 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, capture=False, replay_probs=None):
+    def __call__(self, x, context, capture=False, replay_probs=None, acc=None):
         h, _ = Attention(self.heads, self.dim, is_cross=False, dtype=self.dtype,
                          name='attn1')(nn.LayerNorm(dtype=self.dtype, name='norm1')(x))
         x = x + h
         h, probs = Attention(self.heads, self.dim, is_cross=True, dtype=self.dtype,
                              name='attn2')(
             nn.LayerNorm(dtype=self.dtype, name='norm2')(x), context,
-            capture=capture, replay_probs=replay_probs)
+            capture=capture, replay_probs=replay_probs, acc=acc)
         x = x + h
         x = x + FeedForward(self.dim, dtype=self.dtype, name='ff')(
             nn.LayerNorm(dtype=self.dtype, name='norm3')(x))
@@ -176,7 +179,7 @@ class Transformer2DModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, capture=False, replay: Optional[Dict] = None,
-                 name_prefix: str = ''):
+                 acc: Optional[Dict] = None, name_prefix: str = ''):
         B, H, W, C = x.shape
         residual = x
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
@@ -192,10 +195,17 @@ class Transformer2DModel(nn.Module):
         for d in range(self.depth):
             layer_name = f'{name_prefix}.{d}' if self.depth > 1 else name_prefix
             rp = replay.get(layer_name) if replay else None
+            layer_acc = acc.get(layer_name) if acc else None
+            # acc mode: layers outside the capture plan (factor-8, reference
+            # daam/trace.py:289) have no accumulator — run them uncaptured.
+            layer_capture = capture
+            if capture == 'acc' and layer_acc is None:
+                layer_capture = False
             h, probs = BasicTransformerBlock(
                 dim=C, heads=self.heads, dtype=self.dtype,
-                name=f'transformer_blocks_{d}')(h, context, capture=capture,
-                                                replay_probs=rp)
+                name=f'transformer_blocks_{d}')(h, context,
+                                                capture=layer_capture,
+                                                replay_probs=rp, acc=layer_acc)
             if capture and probs is not None:
                 probs_out[layer_name] = probs
 
@@ -297,12 +307,18 @@ class UNet2DConditionModel(nn.Module):
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  added_cond: Optional[Dict[str, jnp.ndarray]] = None,
-                 capture: bool = False, replay: Optional[Dict] = None):
+                 capture: bool = False, replay: Optional[Dict] = None,
+                 acc: Optional[Dict] = None):
         """Denoise ``sample`` (B, H, W, C latents, NHWC).
 
         Returns ``(eps_prediction, attn_probs)`` where ``attn_probs`` maps
         cross-attn layer names to ``(B, heads, hw, text_len)`` fp32
-        probabilities (empty dict unless ``capture``).
+        probabilities (empty dict unless ``capture``).  With
+        ``capture='acc'``, ``acc`` maps layer names to running heat-map
+        accumulators (:func:`~daam_tpu.ops.pallas_attention.cross_acc_shape`
+        layout) and the returned dict holds their updated values — the
+        in-kernel form of the reference's per-call capture
+        (``daam/trace.py:252-304``).
         """
         cfg = self.config
         groups = cfg.norm_num_groups
@@ -346,7 +362,7 @@ class UNet2DConditionModel(nn.Module):
                         cfg.use_linear_projection, groups=groups, dtype=self.dtype,
                         name=f'down_{level}_attn_{i}')(
                             h, context, capture=capture, replay=replay,
-                            name_prefix=f'down_{level}_{i}')
+                            acc=acc, name_prefix=f'down_{level}_{i}')
                     probs_out.update(p)
                 skips.append(h)
             if level < len(cfg.block_out_channels) - 1:
@@ -363,7 +379,8 @@ class UNet2DConditionModel(nn.Module):
             h, p = Transformer2DModel(
                 cfg.attention_head_dim[-1], depth, cfg.use_linear_projection,
                 groups=groups, dtype=self.dtype, name='mid_attn_0')(
-                    h, context, capture=capture, replay=replay, name_prefix='mid_0')
+                    h, context, capture=capture, replay=replay, acc=acc,
+                    name_prefix='mid_0')
             probs_out.update(p)
         h = ResnetBlock2D(mid_ch, groups=groups, dtype=self.dtype,
                           name='mid_resnet_1')(h, temb)
@@ -384,7 +401,7 @@ class UNet2DConditionModel(nn.Module):
                         cfg.use_linear_projection, groups=groups, dtype=self.dtype,
                         name=f'up_{level}_attn_{i}')(
                             h, context, capture=capture, replay=replay,
-                            name_prefix=f'up_{level}_{i}')
+                            acc=acc, name_prefix=f'up_{level}_{i}')
                     probs_out.update(p)
             if level > 0:
                 h = Upsample2D(ch, dtype=self.dtype,

@@ -75,21 +75,37 @@ def self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
     return out
 
 
+def _acc_update_jnp(acc: jnp.ndarray, probs_cond: jnp.ndarray) -> jnp.ndarray:
+    """Reference accumulator update: ``acc + Pᵀ`` with zero-padding to the
+    accumulator's tile-padded (Lk_pad, Lq_pad) trailing dims.  Numerically
+    defines what the Pallas kernel must produce."""
+    Bc, H, Lq, Lk = probs_cond.shape
+    pt = probs_cond.astype(jnp.float32).transpose(0, 1, 3, 2)  # (Bc,H,Lk,Lq)
+    pt = jnp.pad(pt, ((0, 0), (0, 0), (0, acc.shape[2] - Lk),
+                      (0, acc.shape[3] - Lq)))
+    return acc + pt
+
+
 def cross_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     capture=False,
     replay_probs: Optional[jnp.ndarray] = None,
+    acc: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Text cross-attention with optional probability side-output / replay.
 
-    ``capture`` ∈ {False, 'cond', 'full', True}.  Returns ``(out, probs)``
-    where ``probs`` is the probability tensor ``(B, H, Lq, Lk)`` when
-    capturing (else ``None``).  ``'cond'`` is the heat-map fast path: only the
-    conditional CFG half (batch rows ``B/2:``) carries defined probabilities,
-    in bf16 — halving the side-output bandwidth that constitutes DAAM's
-    tracing overhead.  ``'full'``/``True`` captures every row (needed for
+    ``capture`` ∈ {False, 'cond', 'acc', 'full', True}.  Returns
+    ``(out, probs)`` where ``probs`` is the probability tensor
+    ``(B, H, Lq, Lk)`` when capturing (else ``None``).
+
+    ``'acc'`` is the production heat-map path: ``acc`` (the running per-layer
+    accumulator, see :func:`~daam_tpu.ops.pallas_attention.cross_acc_shape`)
+    is updated with the conditional CFG half's ``Pᵀ`` and returned in the
+    probs slot — on TPU the update happens inside the attention kernel and no
+    probability tensor ever reaches HBM.  ``'cond'`` captures the conditional
+    half's probs in bf16; ``'full'``/``True`` captures every row (needed for
     ``save_heads`` replay).  When ``replay_probs`` is given, it *replaces* the
     computed probabilities before the value contraction — the
     attention-transplant counterfactual (reference ``daam/trace.py:281-282``).
@@ -97,6 +113,21 @@ def cross_attention(
     scale = q.shape[-1] ** -0.5
     if capture is True:
         capture = 'full'
+
+    if capture == 'acc':
+        assert acc is not None, "capture='acc' requires the accumulator"
+        Bc = q.shape[0] // 2  # CFG layout [uncond; cond]
+        if replay_probs is not None:
+            probs = replay_probs.astype(jnp.float32)
+            out = jnp.einsum('bhqk,bhkd->bhqd', probs.astype(v.dtype), v)
+            return out, _acc_update_jnp(acc, probs[Bc:])
+        if _use_pallas(q.shape[2], k.shape[2], q.shape[3]):
+            from .pallas_attention import cross_attention_acc, flash_attention
+            out_u = flash_attention(q[:Bc], k[:Bc], v[:Bc])
+            out_c, acc_new = cross_attention_acc(q[Bc:], k[Bc:], v[Bc:], acc)
+            return jnp.concatenate([out_u, out_c], axis=0), acc_new
+        out, probs = _jnp_attention(q, k, v, scale)
+        return out, _acc_update_jnp(acc, probs[Bc:])
 
     if replay_probs is not None:
         probs = replay_probs.astype(jnp.float32)

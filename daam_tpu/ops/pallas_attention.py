@@ -15,7 +15,15 @@ Two kernels, the performance core of the traced UNet (SURVEY.md §7):
   the model to get the probs (``daam/trace.py:262-276``); here O and P come
   out of the same on-chip softmax.
 
-Both fall back to interpret mode off-TPU (tests run them on CPU).
+* :func:`cross_attention_acc` — the production heat-map path: cross-attention
+  that **accumulates Pᵀ into a running per-layer heat-map buffer in-kernel**
+  (``input_output_aliases`` keeps it in place).  Scores are computed
+  transposed (``KQᵀ``) so the accumulation needs no transpose op; the probs
+  tensor never exists in HBM at all — per step the capture costs one fp32
+  read+write of the accumulator instead of a probs write + XLA
+  transpose/convert/add pass (reference hot loop ``daam/trace.py:276,293-294``).
+
+All fall back to interpret mode off-TPU (tests run them on CPU).
 """
 
 import functools
@@ -27,7 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['flash_self_attention', 'cross_attention_probs']
+__all__ = ['flash_self_attention', 'flash_attention', 'cross_attention_probs',
+           'cross_attention_acc', 'cross_acc_shape']
 
 
 def _interpret() -> bool:
@@ -68,7 +77,12 @@ def _self_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_valid: int)
 @functools.partial(jax.jit, static_argnames=('q_tile',))
 def flash_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          q_tile: int = 256) -> jnp.ndarray:
-    """softmax(QKᵀ/√d)V over (B, H, L, hd) without HBM score materialization."""
+    """softmax(QKᵀ/√d)V over (B, H, L, hd) without HBM score materialization.
+
+    Works for any key length: short/unaligned K (e.g. the 77-token text
+    context of an uncapture cross-attention half) is zero-padded to the TPU
+    tile boundary and masked in-kernel.
+    """
     B, H, L, hd = q.shape
     Lk = k.shape[2]
     scale = hd ** -0.5
@@ -76,6 +90,10 @@ def flash_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qf = q.reshape(B * H, L, hd)
     kf = k.reshape(B * H, Lk, hd)
     vf = v.reshape(B * H, Lk, hd)
+    Lk_pad = _round_up(Lk, 128)
+    if Lk_pad != Lk:
+        kf = jnp.pad(kf, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
 
     # Pad the query length to a tile multiple (extra rows are garbage we slice
     # off; they can't poison real rows since softmax is row-wise).
@@ -92,9 +110,9 @@ def flash_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, TQ, hd), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, hd), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, Lk_pad, hd), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, hd), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, Lk_pad, hd), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TQ, hd), lambda b, i: (b, i, 0),
@@ -103,6 +121,11 @@ def flash_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(qf, kf, vf)
 
     return out[:, :L].reshape(B, H, L, hd)
+
+
+# Generic masked flash attention (any Lq/Lk); alias kept for call sites that
+# use it for non-self attention (e.g. the uncaptured CFG half of cross-attn).
+flash_attention = flash_self_attention
 
 
 # ---------------------------------------------------------------------------
@@ -195,3 +218,116 @@ def cross_attention_probs(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     out = out[:, :Lq].reshape(B, H, Lq, hd)
     probs = probs[:, :Lq, :Lk].reshape(B, H, Lq, Lk)
     return out, probs
+
+
+# ---------------------------------------------------------------------------
+# cross-attention with in-kernel heat-map accumulation
+# ---------------------------------------------------------------------------
+
+def cross_acc_shape(B: int, H: int, Lq: int, Lk: int,
+                    q_tile: int = 512) -> Tuple[int, int, int, int]:
+    """HBM layout of the per-layer heat-map accumulator fed to
+    :func:`cross_attention_acc`: ``(B, H, Lk_pad, Lq_pad)`` fp32, i.e. Pᵀ
+    summed over timesteps.  Token rows are padded to the 128-lane tile and
+    query columns to the query-tile multiple; the pads stay exactly zero
+    (softmax of masked rows is 0) and are sliced off at finalization."""
+    Lk_pad = _round_up(Lk, 128)
+    TQ = min(q_tile, _round_up(Lq, 8))
+    Lq_pad = _round_up(Lq, TQ)
+    return (B, H, Lk_pad, Lq_pad)
+
+
+def _cross_attn_acc_kernel(q_ref, k_ref, v_ref, acc_ref, o_ref, acc_out_ref,
+                           *, scale: float, lk_valid: int, lq_valid: int,
+                           q_tile: int):
+    q = q_ref[0, 0]          # (TQ, hd)
+    k = k_ref[0, 0]          # (LK_pad, hd)
+    v = v_ref[0, 0]
+
+    # Scores computed TRANSPOSED (KQᵀ): softmax runs over the sublane axis and
+    # Pᵀ drops straight into the accumulator — no transpose op anywhere.
+    s = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(row < lk_valid, s, -jnp.inf)
+
+    m = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=0, keepdims=True)
+    p = p / denom            # (LK_pad, TQ); masked token rows are exactly 0
+
+    p_acc = p
+    if lq_valid % q_tile:
+        # Zero-pad query columns so the accumulator's pad region stays exactly
+        # zero (padded q rows otherwise softmax to uniform 1/Lk).
+        col = (jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) +
+               pl.program_id(2) * q_tile)
+        p_acc = jnp.where(col < lq_valid, p, 0.0)
+
+    acc_out_ref[0, 0] = acc_ref[0, 0] + p_acc
+    o_ref[0, 0] = jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32
+                                      ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('q_tile',))
+def cross_attention_acc(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        acc: jnp.ndarray, q_tile: int = 512
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-attention that also returns ``acc + Pᵀ`` — the DAAM capture as a
+    zero-copy kernel epilogue.
+
+    ``q``: (B, H, Lq, hd); ``k``/``v``: (B, H, Lk, hd); ``acc``: the running
+    heat-map buffer shaped :func:`cross_acc_shape`\\ ``(B, H, Lq, Lk)``, fp32.
+    The accumulator is aliased in-place (``input_output_aliases``): across a
+    sampling scan the heat-map side-channel costs one fp32 read+write of the
+    accumulator per layer per step, with no probability tensor ever hitting
+    HBM (the reference materializes the full probs every call,
+    ``daam/trace.py:276``).
+    """
+    B, H, Lq, hd = q.shape
+    Lk = k.shape[2]
+    scale = hd ** -0.5
+
+    Lk_pad = _round_up(Lk, 128)
+    kf = jnp.pad(k, ((0, 0), (0, 0), (0, Lk_pad - Lk), (0, 0)))
+    vf = jnp.pad(v, ((0, 0), (0, 0), (0, Lk_pad - Lk), (0, 0)))
+
+    TQ = min(q_tile, _round_up(Lq, 8))
+    Lq_pad = _round_up(Lq, TQ)
+    qf = q
+    if Lq_pad != Lq:
+        qf = jnp.pad(q, ((0, 0), (0, 0), (0, Lq_pad - Lq), (0, 0)))
+    assert acc.shape == (B, H, Lk_pad, Lq_pad), (acc.shape, (B, H, Lk_pad, Lq_pad))
+
+    grid = (B, H, Lq_pad // TQ)
+    out, acc_new = pl.pallas_call(
+        functools.partial(_cross_attn_acc_kernel, scale=scale, lk_valid=Lk,
+                          lq_valid=Lq, q_tile=TQ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Lq_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct(acc.shape, acc.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, TQ, hd), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk_pad, hd), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk_pad, hd), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk_pad, TQ), lambda b, h, i: (b, h, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, TQ, hd), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk_pad, TQ), lambda b, h, i: (b, h, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={3: 1},
+        interpret=_interpret(),
+    )(qf, kf, vf, acc)
+
+    return out[:, :, :Lq], acc_new
