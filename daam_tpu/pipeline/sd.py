@@ -87,6 +87,18 @@ class StableDiffusionPipeline:
         self.vae_tile_threshold = 96
         self.vae_tiling = 'auto'  # 'auto' | True | False
 
+        # save/load-heads sampling runs in chunks of this many steps so the
+        # raw attention buffers stream to host and device memory stays bounded
+        # (~chunk×per-step size instead of steps×).
+        self.heads_chunk_steps = 8
+
+        # Safety-checker slot (reference pipelines run one and DAAM hooks it,
+        # daam/trace.py:156-169): a callable ``(images_u8, prompts) ->
+        # List[bool]``.  Flagged outputs are blacked out, mirroring the
+        # reference checker's behavior; None (default) disables checking,
+        # like diffusers with safety_checker=None.
+        self.safety_checker = None
+
         # Trace integration (installed by daam_tpu.trace; None = untraced).
         self._active_trace = None
         self._jit_cache: Dict[Any, Any] = {}
@@ -125,7 +137,8 @@ class StableDiffusionPipeline:
     # --------------------------------------------------------------- compile
     def _build_generate(self, batch_size: int, num_steps: int, height: int,
                         width: int, capture_spec: Optional[Tuple] = None,
-                        save_heads: bool = False, load_heads: bool = False):
+                        save_heads: bool = False, load_heads: bool = False,
+                        chunk_steps: Optional[int] = None):
         """Build the jitted generate pipeline for one signature.
 
         Three separately-compiled stages (text encode → denoising scan → VAE
@@ -144,19 +157,52 @@ class StableDiffusionPipeline:
         grid_x = self._map_grid_size()
 
         capture = capture_spec is not None
+        # In-kernel accumulation ('acc' capture) is the production heat-map
+        # path; save_heads needs the full per-step probability tensors, so it
+        # keeps the probs side-output + per-step XLA accumulation.
+        acc_mode = capture and not save_heads
+        T_ctx = self.tokenizer.model_max_length
+
         # capture_spec: tuple of (factor, (layer_names...), (layer_ids...))
         def make_acc():
             accs = {}
             if not capture:
                 return accs
+            if acc_mode:
+                from ..ops.pallas_attention import cross_acc_shape
+                for _factor, names, _ids in capture_spec:
+                    for n in names:
+                        info = layout[n]
+                        h = latent_h // info.downscale
+                        w = latent_w // info.downscale
+                        accs[n] = jnp.zeros(
+                            cross_acc_shape(batch_size, info.heads, h * w,
+                                            T_ctx), jnp.float32)
+                return accs
             for factor, names, _ids in capture_spec:
                 info = layout[names[0]]
                 h = latent_h // info.downscale
                 w = latent_w // info.downscale
-                T = self.tokenizer.model_max_length
                 accs[factor] = jnp.zeros(
-                    (batch_size, len(names), info.heads, T, h, w), jnp.float32)
+                    (batch_size, len(names), info.heads, T_ctx, h, w),
+                    jnp.float32)
             return accs
+
+        def finalize_acc(accs):
+            """Per-layer kernel-layout accumulators (B, H, Lk_pad, Lq_pad) →
+            per-factor blocks (B, L, H, T, h, w) — once, after the scan."""
+            blocks = {}
+            for factor, names, _ids in capture_spec:
+                per_layer = []
+                for n in names:
+                    info = layout[n]
+                    h = latent_h // info.downscale
+                    w = latent_w // info.downscale
+                    a = accs[n][:, :, :T_ctx, :h * w]
+                    per_layer.append(a.reshape(batch_size, info.heads, T_ctx,
+                                               h, w))
+                blocks[factor] = jnp.stack(per_layer, axis=1)
+            return blocks
 
         def reshape_probs(probs, name):
             # (2B, H, hw, T) -> conditional half -> (B, H, T, h, w)
@@ -175,7 +221,7 @@ class StableDiffusionPipeline:
             added = self._merge_added(added_uncond, added_cond, height, width)
             return context, added
 
-        def sample(params, context, added, key, guidance_scale, replay=None):
+        def init_latents(key):
             from ..parallel.mesh import constraint as shard_constraint
             if key.ndim == 2:
                 # one PRNG key per sample (batched per-experiment seeds)
@@ -185,51 +231,81 @@ class StableDiffusionPipeline:
             else:
                 latents = jax.random.normal(key, latent_shape, dtype=jnp.float32)
             latents = latents * scheduler.init_noise_sigma
-            latents = shard_constraint(latents, 'data', None, None, None)
-            sched_state = scheduler.init_state(num_steps, latent_shape,
-                                               jnp.float32)
-            timesteps = sched_state['timesteps']
+            return shard_constraint(latents, 'data', None, None, None)
 
-            def step(carry, i):
+        def make_step(params, context, added, guidance_scale, timesteps):
+            def step(carry, xs):
                 latents, sched_state, accs = carry
+                if load_heads:
+                    i, rep = xs  # per-step replay rows threaded through xs
+                else:
+                    i, rep = xs, None
                 latent_in = jnp.concatenate([latents, latents], axis=0)
                 latent_in = scheduler.scale_model_input(sched_state, latent_in, i)
                 t = timesteps[i]
-                rep = None
-                if load_heads:
-                    rep = {name: replay[name][i] for name in replay}
-                # 'cond' capture (bf16, conditional-half-only side output) is
-                # the low-overhead heat-map path; save_heads needs every CFG
-                # row for replay.
+                # 'acc' capture (in-kernel Pᵀ accumulation, no probs in HBM)
+                # is the low-overhead heat-map path; save_heads needs every
+                # CFG row's probabilities for replay.
                 capture_mode = False
                 if capture or save_heads:
-                    capture_mode = 'full' if save_heads else 'cond'
+                    capture_mode = ('full' if save_heads
+                                    else 'acc' if acc_mode else 'cond')
                 eps, probs = self.unet_module.apply(
                     {'params': params['unet']}, latent_in,
                     jnp.full((2 * batch_size,), t), context,
                     added_cond=added, capture=capture_mode,
-                    replay=rep)
+                    replay=rep, acc=(accs if acc_mode else None))
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
-                latents, sched_state = scheduler.step(sched_state, i, eps, latents)
+                latents, sched_state = scheduler.step(sched_state, i, eps,
+                                                      latents)
 
                 if capture:
-                    new_accs = {}
-                    for factor, names, _ids in capture_spec:
-                        update = jnp.stack(
-                            [reshape_probs(probs[n], n) for n in names], axis=1)
-                        new_accs[factor] = accs[factor] + update
-                    accs = new_accs
+                    if acc_mode:
+                        accs = {n: probs[n] for n in accs}
+                    else:
+                        new_accs = {}
+                        for factor, names, _ids in capture_spec:
+                            update = jnp.stack(
+                                [reshape_probs(probs[n], n) for n in names],
+                                axis=1)
+                            new_accs[factor] = accs[factor] + update
+                        accs = new_accs
 
                 ys = None
                 if save_heads:
                     ys = {n: p.astype(jnp.bfloat16) for n, p in probs.items()}
                 return (latents, sched_state, accs), ys
+            return step
 
-            (latents, _, accs), saved = jax.lax.scan(
+        def sample(params, context, added, key, guidance_scale):
+            """One-shot sampling scan (no head save/replay)."""
+            latents = init_latents(key)
+            sched_state = scheduler.init_state(num_steps, latent_shape,
+                                               jnp.float32)
+            step = make_step(params, context, added, guidance_scale,
+                             sched_state['timesteps'])
+            (latents, _, accs), _ = jax.lax.scan(
                 step, (latents, sched_state, make_acc()),
                 jnp.arange(scan_steps))
-            return latents, accs, saved
+            if acc_mode:
+                accs = finalize_acc(accs)
+            return latents, accs
+
+        # save/load-heads runs the scan in bounded chunks so the raw per-step
+        # probability buffers stream to host instead of accumulating on device
+        # (the full 50-step buffer is tens of GB at 512²; the reference's
+        # per-call torch.save never holds more than one step, daam/trace.py:246).
+        def chunk_init(key):
+            latents = init_latents(key)
+            sched_state = scheduler.init_state(num_steps, latent_shape,
+                                               jnp.float32)
+            return latents, sched_state, make_acc()
+
+        def sample_chunk(params, context, added, guidance_scale, carry, xs):
+            step = make_step(params, context, added, guidance_scale,
+                             carry[1]['timesteps'])
+            return jax.lax.scan(step, carry, xs)
 
         def decode(params, latents):
             scaled = latents / self.config.vae.scaling_factor
@@ -254,15 +330,55 @@ class StableDiffusionPipeline:
             else:
                 self._jit_cache[decode_key] = jax.jit(decode)
         jit_text = self._jit_cache[text_key]
-        jit_sample = jax.jit(sample)
         jit_decode = self._jit_cache[decode_key]
+        chunked = save_heads or load_heads or chunk_steps is not None
+        if chunked:
+            jit_chunk_init = jax.jit(chunk_init)
+            jit_chunk = jax.jit(sample_chunk)
+            jit_finalize = jax.jit(finalize_acc)
+        else:
+            jit_sample = jax.jit(sample)
 
         def generate(params, input_ids, neg_input_ids, key, guidance_scale,
-                     replay=None):
+                     replay=None, step_callback=None):
             context, added = jit_text(params, input_ids, neg_input_ids)
-            kwargs = {'replay': replay} if replay is not None else {}
-            latents, accs, saved = jit_sample(params, context, added, key,
-                                              guidance_scale, **kwargs)
+            if not chunked:
+                latents, accs = jit_sample(params, context, added, key,
+                                           guidance_scale)
+                saved = None
+            else:
+                C = max(1, int(chunk_steps or self.heads_chunk_steps))
+                carry = jit_chunk_init(key)
+                saved_lists: Optional[Dict[str, list]] = None
+                for start in range(0, scan_steps, C):
+                    end = min(start + C, scan_steps)
+                    idxs = jnp.arange(start, end)
+                    if load_heads:
+                        rep = {n: jnp.asarray(replay[n][start:end])
+                               for n in replay}
+                        xs = (idxs, rep)
+                    else:
+                        xs = idxs
+                    carry, ys = jit_chunk(params, context, added,
+                                          guidance_scale, carry, xs)
+                    if save_heads:
+                        if saved_lists is None:
+                            saved_lists = {n: [] for n in ys}
+                        for n, arr in ys.items():
+                            saved_lists[n].append(np.asarray(arr))  # to host
+                    if step_callback is not None:
+                        # Live per-step callback at chunk granularity: fires
+                        # DURING sampling with the real intermediate latents
+                        # (reference contract daam/trace.py:61-62; opt in via
+                        # callback_steps to keep the fused scan otherwise).
+                        for i in range(start, end):
+                            step_callback(i, None, carry[0])
+                latents, _, accs = carry
+                if acc_mode:
+                    accs = jit_finalize(accs)
+                saved = (None if saved_lists is None else
+                         {n: np.concatenate(chunks, axis=0)
+                          for n, chunks in saved_lists.items()})
             images = jit_decode(params, latents)
             return images, accs, saved
 
@@ -362,7 +478,8 @@ class StableDiffusionPipeline:
                  guidance_scale: Optional[float] = None,
                  negative_prompt: Union[str, List[str], None] = None,
                  height: Optional[int] = None, width: Optional[int] = None,
-                 callback=None, output_type: str = 'pil') -> PipelineOutput:
+                 callback=None, callback_steps: Optional[int] = None,
+                 output_type: str = 'pil') -> PipelineOutput:
         tr = self._active_trace
         if tr is not None:
             tr._on_call_start(prompt)
@@ -391,12 +508,12 @@ class StableDiffusionPipeline:
         mesh = get_active_mesh()
         mesh_key = None if mesh is None else tuple(sorted(mesh.shape.items()))
         cache_key = (B, num_inference_steps, height, width, capture_spec,
-                     save_heads, load_heads, mesh_key)
+                     save_heads, load_heads, callback_steps, mesh_key)
         if cache_key not in self._jit_cache:
             self._jit_cache[cache_key] = self._build_generate(
                 B, num_inference_steps, height, width,
                 capture_spec=capture_spec, save_heads=save_heads,
-                load_heads=load_heads)
+                load_heads=load_heads, chunk_steps=callback_steps)
         generate = self._jit_cache[cache_key]
 
         input_ids = self._encode_tokens(prompts)
@@ -405,22 +522,56 @@ class StableDiffusionPipeline:
         kwargs = {}
         if load_heads:
             kwargs['replay'] = tr.replay_buffer(num_inference_steps)
+        if callback is not None and callback_steps is not None:
+            kwargs['step_callback'] = callback
         images, accs, saved = generate(self.params, input_ids, neg_ids,
                                        generator,
                                        jnp.float32(guidance_scale), **kwargs)
 
         pil_images = _to_pil(images) if output_type == 'pil' else list(np.asarray(images))
+        pil_images, nsfw_flags = self.run_safety_checker(pil_images, prompts)
 
         if tr is not None:
+            # trace records the post-safety-checker images, like the
+            # reference's hooked run_safety_checker (daam/trace.py:156-169)
             tr._on_call_end(prompts, pil_images, accs, saved,
                             num_inference_steps)
-        if callback is not None:
+        if callback is not None and callback_steps is None:
+            # Counter-style callbacks (e.g. trace.time_callback) fire after
+            # the fused scan; pass callback_steps for live per-step calls.
             for i in range(num_inference_steps):
                 callback(i, None, None)
 
-        return PipelineOutput(images=pil_images)
+        return PipelineOutput(images=pil_images,
+                              nsfw_content_detected=nsfw_flags)
 
     # ------------------------------------------------- reference-API helpers
+    def run_safety_checker(self, images, prompts):
+        """Apply the configured safety checker: flagged outputs become black
+        images (reference checker behavior) and per-sample flags are returned
+        (``None`` when no checker is configured)."""
+        if self.safety_checker is None:
+            return images, None
+
+        def to_u8(im):
+            a = np.asarray(im)
+            if a.dtype != np.uint8:  # float [0,1] arrays (output_type='np')
+                a = np.clip(a * 255 + 0.5, 0, 255).astype(np.uint8)
+            return a
+
+        flags = [bool(f) for f in
+                 self.safety_checker([to_u8(im) for im in images],
+                                     list(prompts))]
+        out = []
+        for im, flagged in zip(images, flags):
+            if not flagged:
+                out.append(im)
+            elif isinstance(im, PIL.Image.Image):
+                out.append(PIL.Image.fromarray(np.zeros_like(np.asarray(im))))
+            else:
+                out.append(np.zeros_like(im))
+        return out, flags
+
     def check_inputs(self, prompt, *args, **kwargs):
         """Validation hook (patched by PipelineHooker in the reference,
         ``daam/trace.py:171-182``); batching is allowed here."""

@@ -47,3 +47,30 @@ def test_step_timer_and_time_pipeline(pipe):
     assert 'call' in times and times['call'] > 0
     times = time_pipeline(pipe, num_inference_steps=1, reps=1, traced=True)
     assert 'traced_call' in times
+
+
+def test_save_heads_chunked_matches_single_chunk():
+    """Chunked head streaming (heads_chunk_steps) must reproduce exactly the
+    same saved buffers and replayed images as one big chunk."""
+    import numpy as np
+    from daam_tpu import set_seed, trace
+    from daam_tpu.pipeline.sd import StableDiffusionPipeline
+
+    def run(chunk):
+        pipe = StableDiffusionPipeline.from_pretrained('tiny', scheduler='ddim')
+        pipe.heads_chunk_steps = chunk
+        with trace(pipe, save_heads=True, data_dir=f'chunk{chunk}') as tc:
+            out = pipe('a cat on a mat', num_inference_steps=5,
+                       generator=set_seed(3))
+            saved = {n: np.asarray(a, dtype=np.float32)
+                     for n, a in tc.replay_buffer(5).items()}
+        return np.asarray(out.images[0]), saved
+
+    img_big, saved_big = run(8)    # 5 steps -> single chunk
+    img_sm, saved_sm = run(2)      # 2+2+1 -> remainder chunk exercised
+    np.testing.assert_array_equal(img_big, img_sm)
+    assert sorted(saved_big) == sorted(saved_sm)
+    for n in saved_big:
+        assert saved_big[n].shape[0] == 5  # steps axis reassembled
+        np.testing.assert_allclose(saved_big[n], saved_sm[n], rtol=2e-2,
+                                   atol=2e-2)
