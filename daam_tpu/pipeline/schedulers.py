@@ -144,13 +144,11 @@ class PNDMScheduler(BaseScheduler):
             use_cur[1] = 1
             push = np.ones(n, dtype=np.int32)
             push[1] = 0
-            # multistep order selector: 0=1st(e1), 1=avg, 2=2nd, 3=3rd, 4=4th
-            order = np.minimum(np.maximum(np.arange(n) - 1, 0), 4)
-            order[0] = 0
-            order[1] = 1
-            order[2] = 2
-            order[3] = 3
-            order[4:] = 4
+            # multistep order selector: 0=1st(e1), 1=avg, 2=2nd, 3=3rd, 4=4th.
+            # order[i] = min(i, 4), built with clip so short schedules
+            # (n = num_steps+1 as low as 3) don't index past the table
+            # (ADVICE r1: num_steps=2 IndexError).
+            order = np.clip(np.arange(n), 0, 4)
         else:
             unet_ts = ts
             ts_from = ts
@@ -177,24 +175,36 @@ class PNDMScheduler(BaseScheduler):
     def step(self, state, i, model_output, sample):
         a_t = state['alpha_t'][i]
         a_prev = state['alpha_prev'][i]
-        _, eps = self._pred_x0_eps(a_t, model_output, sample)
+
+        # The linear-multistep history holds RAW model outputs (v-space for
+        # v-prediction models); the combined output converts to eps once,
+        # using the current integration sample and alpha — matching diffusers'
+        # PNDMScheduler._get_prev_sample (ADVICE r1: converting per-step
+        # silently diverges for v-pred models).
+        out = model_output
 
         push = state['push'][i]
         ets = jnp.where(push > 0,
-                        jnp.roll(state['ets'], shift=1, axis=0).at[0].set(eps),
+                        jnp.roll(state['ets'], shift=1, axis=0).at[0].set(out),
                         state['ets'])
         cur_sample = jnp.where(state['use_cur'][i] > 0,
                                state['cur_sample'], sample)
         new_cur = jnp.where(i == 0, sample, state['cur_sample'])
 
         e1, e2, e3, e4 = ets[0], ets[1], ets[2], ets[3]
-        eps_prime = jax.lax.switch(
+        out_prime = jax.lax.switch(
             state['order'][i],
-            [lambda: eps,                                    # first step
-             lambda: (eps + e1) / 2,                         # bootstrap average
+            [lambda: out,                                    # first step
+             lambda: (out + e1) / 2,                         # bootstrap average
              lambda: (3 * e1 - e2) / 2,
              lambda: (23 * e1 - 16 * e2 + 5 * e3) / 12,
              lambda: (55 * e1 - 59 * e2 + 37 * e3 - 9 * e4) / 24])
+
+        if self.prediction_type == 'v_prediction':
+            eps_prime = (jnp.sqrt(a_t) * out_prime +
+                         jnp.sqrt(1.0 - a_t) * cur_sample)
+        else:
+            eps_prime = out_prime
 
         prev = self._prev_sample(cur_sample, a_t, a_prev, eps_prime)
         state = dict(state)
@@ -257,15 +267,39 @@ class DPMSolverMultistepScheduler(BaseScheduler):
         alpha_bar = self.alphas_cumprod[ts]
         a = np.sqrt(alpha_bar)
         s = np.sqrt(1 - alpha_bar)
-        # Terminal boundary: fully denoised.
-        a = np.concatenate([a, [0.9999]])
-        s = np.concatenate([s, [np.sqrt(1 - 0.9999 ** 2)]])
         lam = np.log(a) - np.log(s)
+
+        # Per-step update coefficients prev = c_sample*x + c_d*D, precomputed
+        # with the denoise-to-zero terminal boundary folded in as its exact
+        # limit: sigma_{N} -> 0 gives c_sample = 0, c_d = 1 (prev = x0), the
+        # same terminal diffusers uses (ADVICE r1: the previous 0.9999 ad-hoc
+        # boundary deviates at typical step counts).
+        c_sample = np.empty(len(ts))
+        c_d = np.empty(len(ts))
+        for i in range(len(ts) - 1):
+            h = lam[i + 1] - lam[i]
+            c_sample[i] = s[i + 1] / s[i]
+            c_d[i] = -a[i + 1] * np.expm1(-h)
+        c_sample[-1] = 0.0
+        c_d[-1] = 1.0
+
+        # lower_order_final: force first-order on the final step for short
+        # schedules (diffusers: len(timesteps) < 15), where a second-order
+        # extrapolation into the terminal limit visibly deviates.
+        first_order = np.zeros(len(ts), dtype=np.int32)
+        if len(ts) < 15:
+            first_order[-1] = 1
+
+        # finite stand-in for the terminal lambda (only enters the 2nd-order
+        # ratio r, which the first-order terminal step never uses)
+        lam_ext = np.concatenate([lam, [lam[-1] + 40.0]])
         return {
             'timesteps': jnp.asarray(ts),
             'alpha_sqrt': jnp.asarray(a, dtype=jnp.float32),
-            'sigma_sqrt': jnp.asarray(s, dtype=jnp.float32),
-            'lambda': jnp.asarray(lam, dtype=jnp.float32),
+            'lambda': jnp.asarray(lam_ext, dtype=jnp.float32),
+            'c_sample': jnp.asarray(c_sample, dtype=jnp.float32),
+            'c_d': jnp.asarray(c_d, dtype=jnp.float32),
+            'first_order': jnp.asarray(first_order),
             'prev_x0': jnp.zeros(tuple(sample_shape), dtype=dtype),
             'has_prev': jnp.asarray(0, dtype=jnp.int32),
         }
@@ -279,13 +313,11 @@ class DPMSolverMultistepScheduler(BaseScheduler):
         h_last = lam[i] - lam[jnp.maximum(i - 1, 0)]
         r = h_last / h
 
-        use_2nd = (state['has_prev'] > 0)
+        use_2nd = (state['has_prev'] > 0) & (state['first_order'][i] == 0)
         d = jnp.where(use_2nd,
                       x0 + (x0 - state['prev_x0']) / (2.0 * jnp.where(r == 0, 1.0, r)),
                       x0)
-        phi = jnp.expm1(-h)
-        prev = (state['sigma_sqrt'][i + 1] / state['sigma_sqrt'][i]) * sample \
-            - state['alpha_sqrt'][i + 1] * phi * d
+        prev = state['c_sample'][i] * sample + state['c_d'][i] * d
 
         state = dict(state)
         state['prev_x0'] = x0

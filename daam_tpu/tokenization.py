@@ -32,9 +32,13 @@ __all__ = ['ClipBpeTokenizer', 'HashWordTokenizer', 'default_tokenizer', 'WORD_P
 
 # CLIP's pre-tokenization pattern (contractions, letter runs, single digits,
 # punctuation runs).  Python ``re`` lacks \p{L}; [^\W\d_] matches any unicode
-# letter and \d any digit, which is equivalent for our purposes.
+# letter and \d any digit, which is equivalent for our purposes.  The
+# punctuation class must include '_' (it is \w in Python but not \p{L}\p{N}
+# in CLIP's [^\s\p{L}\p{N}]+ — ADVICE r1: dropping it shifts token indices
+# vs HF CLIPTokenizer for prompts containing underscores).
 WORD_PATTERN = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+",
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
     re.IGNORECASE,
 )
 

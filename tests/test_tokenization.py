@@ -109,3 +109,14 @@ def test_against_transformers_clip_if_available(hash_tok):
     toks = hash_tok.tokenize("a dog's tail, isn't it?")
     joined = [t.replace('</w>', '') for t in toks]
     assert "'s" in joined and ',' in joined and '?' in joined
+
+
+def test_underscore_tokenizes_as_punctuation():
+    """ADVICE r1: CLIP's pre-tokenizer treats '_' as punctuation
+    ([^\\s\\p{L}\\p{N}]+); dropping it shifts token indices."""
+    from daam_tpu.tokenization import WORD_PATTERN
+
+    pieces = WORD_PATTERN.findall('snake_case words here')
+    assert pieces[:3] == ['snake', '_', 'case']
+    # runs of mixed punctuation including underscores survive
+    assert WORD_PATTERN.findall('a __!! b') == ['a', '__!!', 'b']
