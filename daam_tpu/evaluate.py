@@ -1,50 +1,110 @@
-"""Segmentation-style metrics and evaluators (IoU/IoA, Hungarian mIoU).
+"""Segmentation metrics as batched device programs (IoU/IoA, Hungarian mIoU).
 
-TPU-native counterpart of reference ``daam/evaluate.py``: same binarization
-semantics (resize with bicubic, then threshold at 1 — reference
-``daam/evaluate.py:14-35``), same evaluator report strings
-(``daam/evaluate.py:79-80,115-116``).  Metric math runs through jnp (jit-able
-and batchable); the evaluators are host-side bookkeeping.
+Covers the same metric surface as reference ``daam/evaluate.py`` (bicubic
+resize + binarize-at-1, best-of-preds IoU, Hungarian-matched unsupervised
+mIoU, the evaluator report strings) but with a TPU-native core: masks are
+stacked and binarized in one jitted program, and all pairwise intersections
+for an experiment come out of a single ``P @ Tᵀ`` matmul on the MXU —
+one device dispatch per mask *set* instead of the reference's one
+interpolate+multiply per mask *pair*.
 """
 
-from collections import defaultdict
-from typing import Dict, List, Union
+from typing import Dict, List, Tuple
 
 import numpy as np
 
-from .ops.resize import bicubic_resize
-
 __all__ = ['compute_iou', 'MeanEvaluator', 'load_mask', 'compute_ioa',
-           'UnsupervisedEvaluator']
+           'UnsupervisedEvaluator', 'iou_matrix', 'ioa_matrix']
 
 
-def _match_size(a, b):
-    """Resize ``a`` to ``b``'s spatial shape (bicubic) then binarize at 1,
-    mirroring reference ``daam/evaluate.py:15-18``."""
-    import jax.numpy as jnp
+# ---------------------------------------------------------------------------
+# batched mask math (the device core)
+# ---------------------------------------------------------------------------
 
-    a = jnp.asarray(a, dtype=jnp.float32)
-    b = jnp.asarray(b, dtype=jnp.float32)
-    if a.shape[0] != b.shape[0]:
-        a = bicubic_resize(a[None, None], (b.shape[0], b.shape[1]))[0, 0]
-        a = (a >= 1.0).astype(jnp.float32)
-    return a, b
+_JIT_CACHE: Dict[Tuple, object] = {}
+
+
+def _binarize_resize_fn(in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+    """Jitted (N, h, w) -> (N, H*W) flattener: bicubic resize to ``out_hw``
+    (when shapes differ) then threshold at 1 — the reference's size-matching
+    semantics (``daam/evaluate.py:15-18``) applied to a whole stack at once."""
+    key = ('binarize', in_hw, out_hw)
+    if key not in _JIT_CACHE:
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.resize import bicubic_resize
+
+        def fn(masks):
+            masks = masks.astype(jnp.float32)
+            if in_hw != out_hw:
+                masks = bicubic_resize(masks[:, None], out_hw)[:, 0]
+                masks = (masks >= 1.0).astype(jnp.float32)
+            return masks.reshape(masks.shape[0], -1)
+
+        _JIT_CACHE[key] = jax.jit(fn)
+    return _JIT_CACHE[key]
+
+
+def _pairwise_fn(p_n: int, t_n: int, hw: int):
+    """Jitted all-pairs (intersection, pred areas, truth areas): one matmul."""
+    key = ('pairwise', p_n, t_n, hw)
+    if key not in _JIT_CACHE:
+        import jax
+        import jax.numpy as jnp
+
+        def fn(p_flat, t_flat):
+            inter = p_flat @ t_flat.T            # (P, T) on the MXU
+            return inter, p_flat.sum(-1), t_flat.sum(-1)
+
+        _JIT_CACHE[key] = jax.jit(fn)
+    return _JIT_CACHE[key]
+
+
+def _as_stack(masks) -> np.ndarray:
+    """(N, h, w) float array from a mask / list of masks."""
+    if isinstance(masks, (list, tuple)):
+        return np.stack([np.asarray(m, dtype=np.float32) for m in masks])
+    m = np.asarray(masks, dtype=np.float32)
+    return m[None] if m.ndim == 2 else m
+
+
+def _pair_stats(preds, truths) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(intersections (P, T), pred areas (P,), truth areas (T,)) with preds
+    resized+binarized to the truth grid.  Everything batched: two stacked
+    flattens and one matmul, regardless of how many masks there are."""
+    p = _as_stack(preds)
+    t = _as_stack(truths)
+    out_hw = t.shape[1:]
+    p_flat = _binarize_resize_fn(p.shape[1:], out_hw)(p)
+    t_flat = _binarize_resize_fn(out_hw, out_hw)(t)
+    inter, p_area, t_area = _pairwise_fn(p.shape[0], t.shape[0],
+                                         int(np.prod(out_hw)))(p_flat, t_flat)
+    return np.asarray(inter), np.asarray(p_area), np.asarray(t_area)
+
+
+def iou_matrix(preds, truths) -> np.ndarray:
+    """All-pairs IoU between pred and truth mask stacks, one device program."""
+    inter, p_area, t_area = _pair_stats(preds, truths)
+    union = p_area[:, None] + t_area[None, :] - inter
+    return inter / (union + 1e-8)
+
+
+def ioa_matrix(preds, truths) -> np.ndarray:
+    """All-pairs intersection-over-pred-area."""
+    inter, p_area, _ = _pair_stats(preds, truths)
+    return inter / (p_area[:, None] + 1e-8)
 
 
 def compute_iou(a, b) -> float:
-    """Intersection-over-union (reference ``daam/evaluate.py:14-23``)."""
-    a, b = _match_size(a, b)
-    intersection = (a * b).sum()
-    union = a.sum() + b.sum() - intersection
-    return float(intersection / (union + 1e-8))
+    """IoU of one pair — same binarization contract as reference
+    ``daam/evaluate.py:14-23`` (``a`` resized to ``b``'s grid, threshold 1)."""
+    return float(iou_matrix([a], [b])[0, 0])
 
 
 def compute_ioa(a, b) -> float:
     """Intersection-over-area of ``a`` (reference ``daam/evaluate.py:26-35``)."""
-    a, b = _match_size(a, b)
-    intersection = (a * b).sum()
-    area = a.sum()
-    return float(intersection / (area + 1e-8))
+    return float(ioa_matrix([a], [b])[0, 0])
 
 
 def load_mask(path: str) -> np.ndarray:
@@ -55,33 +115,43 @@ def load_mask(path: str) -> np.ndarray:
     return (mask > 0).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# evaluators (host-side aggregation over device-computed matrices)
+# ---------------------------------------------------------------------------
+
 class UnsupervisedEvaluator:
-    """Hungarian-matched unsupervised mIoU (reference ``daam/evaluate.py:46-80``)."""
+    """Hungarian-matched unsupervised mIoU.
+
+    Accumulates a (gt label, pred label) → summed-best-IoU table and solves
+    the assignment at read time; report format matches reference
+    ``daam/evaluate.py:79-80``.
+    """
 
     def __init__(self, name: str = 'UnsupervisedEvaluator'):
         self.name = name
-        self.ious: Dict[int, list] = defaultdict(list)
+        self._iou_sum: Dict[Tuple[int, int], float] = {}
+        self._iou_cnt: Dict[Tuple[int, int], int] = {}
         self.num_samples = 0
 
     def log_iou(self, preds, truth, gt_idx: int = 0, pred_idx: int = 0):
-        if not isinstance(preds, list):
-            preds = [preds]
-        iou = max(compute_iou(pred, truth) for pred in preds)
-        self.ious[gt_idx].append((pred_idx, iou))
+        best = float(iou_matrix(preds, [truth]).max())
+        key = (gt_idx, pred_idx)
+        self._iou_sum[key] = self._iou_sum.get(key, 0.0) + best
+        self._iou_cnt[key] = self._iou_cnt.get(key, 0) + 1
 
     @property
     def mean_iou(self) -> float:
         from scipy.optimize import linear_sum_assignment
 
-        n = max(max(self.ious), max(y[0] for x in self.ious.values() for y in x)) + 1
-        iou_matrix = np.zeros((n, n))
-        count_matrix = np.zeros((n, n))
-        for gt_idx, ious in self.ious.items():
-            for pred_idx, iou in ious:
-                iou_matrix[gt_idx, pred_idx] += iou
-                count_matrix[gt_idx, pred_idx] += 1
-        row_ind, col_ind = linear_sum_assignment(iou_matrix, maximize=True)
-        return iou_matrix[row_ind, col_ind].sum() / count_matrix[row_ind, col_ind].sum()
+        n = 1 + max(max(g for g, _ in self._iou_sum),
+                    max(p for _, p in self._iou_sum))
+        sums = np.zeros((n, n))
+        counts = np.zeros((n, n))
+        for (g, p), s in self._iou_sum.items():
+            sums[g, p] = s
+            counts[g, p] = self._iou_cnt[(g, p)]
+        rows, cols = linear_sum_assignment(sums, maximize=True)
+        return sums[rows, cols].sum() / counts[rows, cols].sum()
 
     def increment(self):
         self.num_samples += 1
@@ -94,8 +164,8 @@ class UnsupervisedEvaluator:
 
 
 class MeanEvaluator:
-    """Best-of-preds mean IoU with 95% CI + mean intensity
-    (reference ``daam/evaluate.py:83-116``)."""
+    """Best-of-preds mean IoU with 95% CI + mean heat intensity; report format
+    matches reference ``daam/evaluate.py:115-116``."""
 
     def __init__(self, name: str = 'MeanEvaluator'):
         self.ious: List[float] = []
@@ -103,9 +173,7 @@ class MeanEvaluator:
         self.name = name
 
     def log_iou(self, preds, truth):
-        if not isinstance(preds, list):
-            preds = [preds]
-        self.ious.append(max(compute_iou(pred, truth) for pred in preds))
+        self.ious.append(float(iou_matrix(preds, [truth]).max()))
         return self
 
     def log_intensity(self, pred):

@@ -1,25 +1,28 @@
 """Experiment persistence: serializable generations, COCO label tables.
 
-TPU-native counterpart of reference ``daam/experiment.py``.  The on-disk
-contract is identical (directory layout ``path/id/subtype/`` with
-``generation.pt``, ``output.png``, ``prompt.txt``, ``seed.txt``,
-``{word}.gt.png`` truth masks, ``{word}.{name}.pred.png`` prediction masks,
-``annotations.json``, ``{word}.heat_map.png`` — reference
-``daam/experiment.py:140-167,303-344``), so experiment folders written by
-either implementation are interchangeable at the file level.  The tensor
-payload inside ``generation.pt`` is a plain pickle of numpy arrays rather
-than a torch checkpoint (no torch dependency on the load path).
+Keeps the reference's on-disk directory contract (``daam/experiment.py:140-167,
+303-344``): ``path/id/subtype/`` containing ``generation.pt``, ``output.png``,
+``prompt.txt``, ``seed.txt``, ``{word}.gt.png`` truth masks,
+``{word}.{name}.pred.png`` prediction masks, ``annotations.json`` and
+``{word}.heat_map.png``.  Sidecar files (PNGs/text) are bit-compatible both
+ways.  ``generation.pt`` is written as a plain pickled numpy payload (no torch
+dependency); the loader additionally understands reference-written
+``generation.pt`` files (torch zip checkpoints) when torch is importable, so
+reference experiment folders can be read here.
 """
 
-from dataclasses import dataclass, field
-from pathlib import Path
-from typing import Any, Dict, List, Optional, Union
 import json
 import pickle
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Iterable, List, Optional, Tuple, Union
 
 import numpy as np
 import PIL.Image
 
+from .coco import (COCO80_LABELS, COCO80_INDICES, UNUSED_LABELS,  # noqa: F401
+                   COCOSTUFF27_LABELS, COCO80_ONTOLOGY, COCO80_TO_27,
+                   build_word_list_coco80)
 from .evaluate import load_mask
 
 __all__ = ['GenerationExperiment', 'COCO80_LABELS', 'COCOSTUFF27_LABELS',
@@ -27,27 +30,79 @@ __all__ = ['GenerationExperiment', 'COCO80_LABELS', 'COCOSTUFF27_LABELS',
            'build_word_list_coco80']
 
 
-from .coco import (COCO80_LABELS, COCO80_INDICES, UNUSED_LABELS,  # noqa: F401
-                   COCOSTUFF27_LABELS, COCO80_ONTOLOGY, COCO80_TO_27,
-                   build_word_list_coco80)
+# ---------------------------------------------------------------------------
+# mask helpers (shared by the truth / prediction paths)
+# ---------------------------------------------------------------------------
+
+def _write_mask_png(path: Path, mask: np.ndarray) -> None:
+    """Write a {0,1} mask as the RGBA PNG format ``load_mask`` reads back."""
+    arr = (np.asarray(mask, dtype=np.float32) * 255).astype(np.uint8)
+    PIL.Image.fromarray(np.repeat(arr[..., None], 4, axis=-1)).save(path)
 
 
-def _add_mask(masks: Dict[str, np.ndarray], word: str, mask: np.ndarray,
-              simplify80: bool = False) -> Dict[str, np.ndarray]:
-    """Merge a mask into the dict, optionally coarsening COCO-80 → 27
-    (reference ``daam/experiment.py:89-99``)."""
-    if simplify80:
-        word = COCO80_TO_27.get(word, word)
-    if word in masks:
-        masks[word] = np.clip(masks[word.lower()] + mask, 0, 1)
-    else:
-        masks[word] = mask
+def _merge_masks(pairs: Iterable[Tuple[str, np.ndarray]],
+                 simplify80: bool = False) -> Dict[str, np.ndarray]:
+    """word→mask dict from (word, mask) pairs; masks for the same word are
+    OR-merged (clipped sum).  ``simplify80`` coarsens COCO-80 labels to the
+    COCOSTUFF-27 superclass first (reference ``daam/experiment.py:89-99``,
+    minus its ``masks[word.lower()]`` latent-KeyError quirk)."""
+    masks: Dict[str, np.ndarray] = {}
+    for word, mask in pairs:
+        if simplify80:
+            word = COCO80_TO_27.get(word, word)
+        prev = masks.get(word)
+        masks[word] = mask if prev is None else np.clip(prev + mask, 0, 1)
     return masks
 
 
-def _mask_to_rgba_png(mask: np.ndarray) -> PIL.Image.Image:
-    arr = (np.asarray(mask, dtype=np.float32) * 255).astype(np.uint8)
-    return PIL.Image.fromarray(np.repeat(arr[..., None], 4, axis=-1))
+def _masks_from_dir(directory: Path, suffix: str,
+                    simplify80: bool) -> Dict[str, np.ndarray]:
+    """Collect ``{word}{suffix}`` PNG masks from a directory."""
+    pairs = ((p.name[:-len(suffix)].lower(), load_mask(str(p)))
+             for p in directory.glob(f'*{suffix}'))
+    return _merge_masks(pairs, simplify80)
+
+
+def _masks_from_composite(png_path: Path, vocab: List[str],
+                          simplify80: bool) -> Dict[str, np.ndarray]:
+    """Split one index-image into per-label masks (composite predictions)."""
+    if not png_path.exists():
+        return {}
+    im = np.array(PIL.Image.open(png_path))
+    pairs = ((vocab[idx], (im == idx).astype(np.float32))
+             for idx in np.unique(im))
+    return _merge_masks(pairs, simplify80)
+
+
+def _experiment_file(path: Union[str, Path], prompt_id: Optional[str],
+                     name: str) -> Path:
+    base = Path(path) if prompt_id is None else Path(path) / prompt_id
+    return base / name
+
+
+def _read_payload(pt_path: Path) -> dict:
+    """Read ``generation.pt``: our pickled-numpy payload, or — when the file
+    is a torch zip checkpoint written by the reference — via torch.load."""
+    raw = pt_path.read_bytes()
+    if raw[:2] == b'PK':  # torch.save zip container (reference-written)
+        try:
+            import io
+            import torch
+        except ImportError as e:
+            raise RuntimeError(
+                f'{pt_path} is a torch checkpoint (reference-written); '
+                f'reading it requires torch, which is not importable') from e
+        exp = torch.load(io.BytesIO(raw), map_location='cpu',
+                         weights_only=False)
+        return {
+            'image': np.array(exp.image),
+            'global_heat_map': np.asarray(exp.global_heat_map,
+                                          dtype=np.float32),
+            'prompt': exp.prompt,
+            'seed': getattr(exp, 'seed', None),
+            'format': 'daam.reference',
+        }
+    return pickle.loads(raw)
 
 
 @dataclass
@@ -73,25 +128,29 @@ class GenerationExperiment:
             self.path = Path(self.path)
         self.path = None if self.path is None else self.path / self.id
 
+    # ----------------------------------------------------------------- state
     def nsfw(self) -> bool:
         """All-black output means the safety checker fired
         (reference ``daam/experiment.py:125-126``)."""
         return bool(np.sum(np.array(self.image)) == 0)
 
     def heat_map(self, tokenizer: Any = None):
-        if tokenizer is None:
-            tokenizer = self.tokenizer
         from .heatmap import GlobalHeatMap
-        return GlobalHeatMap(tokenizer, self.prompt, self.global_heat_map)
+        return GlobalHeatMap(tokenizer or self.tokenizer, self.prompt,
+                             self.global_heat_map)
 
-    def clear_checkpoint(self):
-        path = self if isinstance(self, Path) else self.path
-        (path / 'generation.pt').unlink(missing_ok=True)
+    def annotate(self, key: str, value: Any) -> 'GenerationExperiment':
+        if self.annotations is None:
+            self.annotations = {}
+        self.annotations[key] = value
+        return self
 
+    # ------------------------------------------------------------------ save
     def _payload(self) -> dict:
         return {
             'image': np.array(self.image),
-            'global_heat_map': np.asarray(self.global_heat_map, dtype=np.float32),
+            'global_heat_map': np.asarray(self.global_heat_map,
+                                          dtype=np.float32),
             'prompt': self.prompt,
             'seed': self.seed,
             'id': self.id,
@@ -104,152 +163,97 @@ class GenerationExperiment:
              tokenizer: Any = None):
         """Write the reference's exact artifact set
         (``daam/experiment.py:140-167``, README contract)."""
-        if path is None:
-            path = self.path
-        else:
-            path = Path(path) / self.id
-        self.path = path
-
-        if tokenizer is None:
-            tokenizer = self.tokenizer
+        if path is not None:
+            self.path = Path(path) / self.id
+        path = self.path
+        tokenizer = tokenizer or self.tokenizer
 
         (path / self.subtype).mkdir(parents=True, exist_ok=True)
-        with (path / self.subtype / 'generation.pt').open('wb') as f:
-            pickle.dump(self._payload(), f)
+        (path / self.subtype / 'generation.pt').write_bytes(
+            pickle.dumps(self._payload()))
         self.image.save(path / self.subtype / 'output.png')
-
         (path / 'prompt.txt').write_text(self.prompt)
         (path / 'seed.txt').write_text(str(self.seed))
 
-        if self.truth_masks is not None:
-            for name, mask in self.truth_masks.items():
-                _mask_to_rgba_png(mask).save(path / f'{name.lower()}.gt.png')
+        for name, mask in (self.truth_masks or {}).items():
+            _write_mask_png(path / f'{name.lower()}.gt.png', mask)
 
         if heat_maps and tokenizer is not None:
             self.save_all_heat_maps(tokenizer)
-
         self.save_annotations()
 
     def save_annotations(self, path: Optional[Path] = None):
-        if path is None:
-            path = self.path
         if self.annotations is not None:
-            with (path / 'annotations.json').open('w') as f:
+            with ((path or self.path) / 'annotations.json').open('w') as f:
                 json.dump(self.annotations, f)
-
-    def _load_truth_masks(self, simplify80: bool = False) -> Dict[str, np.ndarray]:
-        masks: Dict[str, np.ndarray] = {}
-        for mask_path in self.path.glob('*.gt.png'):
-            word = mask_path.name.split('.gt.png')[0].lower()
-            _add_mask(masks, word, load_mask(str(mask_path)), simplify80)
-        return masks
-
-    def _load_pred_masks(self, pred_prefix: str, composite: bool = False,
-                         simplify80: bool = False,
-                         vocab: Optional[List[str]] = None) -> Dict[str, np.ndarray]:
-        masks: Dict[str, np.ndarray] = {}
-        if vocab is None:
-            vocab = UNUSED_LABELS
-
-        if composite:
-            try:
-                im = PIL.Image.open(
-                    self.path / self.subtype / f'composite.{pred_prefix}.pred.png')
-                im = np.array(im)
-                for mask_idx in np.unique(im):
-                    mask = (im == mask_idx).astype(np.float32)
-                    _add_mask(masks, vocab[mask_idx], mask, simplify80)
-            except FileNotFoundError:
-                pass
-        else:
-            for mask_path in (self.path / self.subtype).glob(f'*.{pred_prefix}.pred.png'):
-                mask = load_mask(str(mask_path))
-                word = mask_path.name.split(f'.{pred_prefix}.pred')[0].lower()
-                _add_mask(masks, word, mask, simplify80)
-        return masks
-
-    def clear_prediction_masks(self, name: str):
-        path = self if isinstance(self, Path) else self.path
-        path = path / self.subtype
-        for mask_path in path.glob(f'*.{name}.pred.png'):
-            mask_path.unlink()
 
     def save_prediction_mask(self, mask, word: str, name: str):
         path = self if isinstance(self, Path) else self.path
-        im = _mask_to_rgba_png(np.asarray(mask))
-        im.save(path / self.subtype / f'{word.lower()}.{name}.pred.png')
+        _write_mask_png(path / self.subtype / f'{word.lower()}.{name}.pred.png',
+                        np.asarray(mask))
+
+    def clear_prediction_masks(self, name: str):
+        path = self if isinstance(self, Path) else self.path
+        for mask_path in (path / self.subtype).glob(f'*.{name}.pred.png'):
+            mask_path.unlink()
+
+    def clear_checkpoint(self):
+        path = self if isinstance(self, Path) else self.path
+        (path / 'generation.pt').unlink(missing_ok=True)
 
     def save_heat_map(self, word: str, tokenizer: Any = None,
                       crop: Optional[int] = None, output_prefix: str = '',
                       absolute: bool = False) -> Path:
-        from .heatmap import GlobalHeatMap
-
-        if tokenizer is None:
-            tokenizer = self.tokenizer
-
-        path = self.path / self.subtype / f'{output_prefix}{word.lower()}.heat_map.png'
-        heat_map = GlobalHeatMap(tokenizer, self.prompt, self.global_heat_map)
-        heat_map.compute_word_heat_map(word).expand_as(
-            self.image, color_normalize=not absolute, out_file=path, plot=True)
-        return path
+        out = (self.path / self.subtype /
+               f'{output_prefix}{word.lower()}.heat_map.png')
+        self.heat_map(tokenizer).compute_word_heat_map(word).expand_as(
+            self.image, color_normalize=not absolute, out_file=out, plot=True)
+        return out
 
     def save_all_heat_maps(self, tokenizer: Any = None,
                            crop: Optional[int] = None) -> Dict[str, Path]:
         path_map: Dict[str, Path] = {}
-        if tokenizer is None:
-            tokenizer = self.tokenizer
         for word in self.prompt.split(' '):
             try:
                 path_map[word] = self.save_heat_map(word, tokenizer, crop=crop)
             except Exception:
-                pass
+                pass  # non-content tokens (punctuation, truncation) — skip
         return path_map
 
     # -- static probes (reference ``daam/experiment.py:259-287``) ------------
     @staticmethod
-    def contains_truth_mask(path: Union[str, Path], prompt_id: Optional[str] = None) -> bool:
-        if prompt_id is None:
-            return any(Path(path).glob('*.gt.png'))
-        return any((Path(path) / prompt_id).glob('*.gt.png'))
+    def contains_truth_mask(path: Union[str, Path],
+                            prompt_id: Optional[str] = None) -> bool:
+        base = Path(path) if prompt_id is None else Path(path) / prompt_id
+        return any(base.glob('*.gt.png'))
 
     @staticmethod
-    def read_seed(path: Union[str, Path], prompt_id: Optional[str] = None) -> int:
-        if prompt_id is None:
-            return int(Path(path).joinpath('seed.txt').read_text())
-        return int(Path(path).joinpath(prompt_id).joinpath('seed.txt').read_text())
+    def read_seed(path: Union[str, Path],
+                  prompt_id: Optional[str] = None) -> int:
+        return int(_experiment_file(path, prompt_id, 'seed.txt').read_text())
+
+    @staticmethod
+    def read_prompt(path: Union[str, Path],
+                    prompt_id: Optional[str] = None) -> str:
+        return _experiment_file(path, prompt_id or '.',
+                                'prompt.txt').read_text().strip()
 
     @staticmethod
     def has_annotations(path: Union[str, Path]) -> bool:
-        return Path(path).joinpath('annotations.json').exists()
+        return _experiment_file(path, None, 'annotations.json').exists()
 
     @staticmethod
     def has_experiment(path: Union[str, Path], prompt_id: str) -> bool:
-        return (Path(path) / prompt_id / 'generation.pt').exists()
+        return _experiment_file(path, prompt_id, 'generation.pt').exists()
 
-    @staticmethod
-    def read_prompt(path: Union[str, Path], prompt_id: Optional[str] = None) -> str:
-        if prompt_id is None:
-            prompt_id = '.'
-        with (Path(path) / prompt_id / 'prompt.txt').open('r') as f:
-            return f.read().strip()
-
-    def _try_load_annotations(self):
-        if not (self.path / 'annotations.json').exists():
-            return None
-        return json.load((self.path / 'annotations.json').open())
-
-    def annotate(self, key: str, value: Any) -> 'GenerationExperiment':
-        if self.annotations is None:
-            self.annotations = {}
-        self.annotations[key] = value
-        return self
-
+    # ------------------------------------------------------------------ load
     @classmethod
     def load(cls, path, pred_prefix: str = 'daam', composite: bool = False,
              simplify80: bool = False, vocab: Optional[List[str]] = None,
              subtype: str = '.', all_subtypes: bool = False):
         """Load an experiment dir (recursively over subtypes if requested);
-        reference ``daam/experiment.py:303-344``."""
+        reference ``daam/experiment.py:303-344``.  Accepts both this
+        implementation's payloads and reference torch checkpoints."""
         if all_subtypes:
             experiments = []
             for directory in Path(path).iterdir():
@@ -261,12 +265,11 @@ class GenerationExperiment:
                         simplify80=simplify80, vocab=vocab,
                         subtype=directory.name))
                 except Exception:
-                    pass
+                    pass  # non-experiment subdirectory
             return experiments
 
         path = Path(path)
-        with (path / subtype / 'generation.pt').open('rb') as f:
-            payload = pickle.load(f)
+        payload = _read_payload(path / subtype / 'generation.pt')
         exp = cls(
             image=PIL.Image.fromarray(payload['image']),
             global_heat_map=payload['global_heat_map'],
@@ -276,8 +279,14 @@ class GenerationExperiment:
             subtype=subtype,
         )
         exp.path = path
-        exp.truth_masks = exp._load_truth_masks(simplify80=simplify80)
-        exp.prediction_masks = exp._load_pred_masks(
-            pred_prefix, composite=composite, simplify80=simplify80, vocab=vocab)
-        exp.annotations = exp._try_load_annotations()
+        exp.truth_masks = _masks_from_dir(path, '.gt.png', simplify80)
+        if composite:
+            exp.prediction_masks = _masks_from_composite(
+                path / subtype / f'composite.{pred_prefix}.pred.png',
+                vocab if vocab is not None else UNUSED_LABELS, simplify80)
+        else:
+            exp.prediction_masks = _masks_from_dir(
+                path / subtype, f'.{pred_prefix}.pred.png', simplify80)
+        anns = path / 'annotations.json'
+        exp.annotations = json.load(anns.open()) if anns.exists() else None
         return exp

@@ -119,3 +119,37 @@ def test_all_subtypes_load(tmp_path):
     loaded = GenerationExperiment.load(tmp_path / 'multi', all_subtypes=True)
     assert len(loaded) == 2
     assert {e.subtype for e in loaded} == {'s1', 's2'}
+
+
+class _RefExp:
+    """Stand-in for the reference's pickled experiment object (module-level
+    so torch.save can pickle it)."""
+
+    def __init__(self):
+        import PIL.Image
+        import torch
+        self.image = PIL.Image.new('RGB', (8, 8), (3, 7, 11))
+        self.global_heat_map = torch.rand(77, 8, 8)
+        self.prompt = 'a reference dog'
+        self.seed = 17
+
+
+def test_load_reference_torch_checkpoint(tmp_path):
+    """generation.pt written as a torch zip checkpoint (the reference format)
+    loads through the torch fallback (ADVICE r1: interchangeability)."""
+    import numpy as np
+    import pytest
+    torch = pytest.importorskip('torch')
+    from daam_tpu.experiment import GenerationExperiment
+
+    d = tmp_path / 'exp0'
+    d.mkdir()
+    torch.save(_RefExp(), d / 'generation.pt')
+    (d / 'prompt.txt').write_text('a reference dog')
+    (d / 'seed.txt').write_text('17')
+
+    exp = GenerationExperiment.load(d)
+    assert exp.prompt == 'a reference dog'
+    assert exp.seed == 17
+    assert np.asarray(exp.global_heat_map).shape == (77, 8, 8)
+    assert np.array(exp.image)[0, 0, 0] == 3
