@@ -1,14 +1,15 @@
 """Benchmark harness: traced vs untraced Stable Diffusion throughput on TPU.
 
-Measures the north-star metric (BASELINE.json): imgs/sec/chip for traced
-generation, with ``vs_baseline`` = traced/untraced throughput ratio (the
+Measures the north-star metric (BASELINE.json): **SDXL 50-step** traced
+imgs/sec/chip, with ``vs_baseline`` = traced/untraced throughput ratio (the
 tracing-overhead target is ≥ 0.95).  The reference publishes no numbers
 (BASELINE.md), so the untraced run on the same hardware IS the baseline.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Flags: --model (default v2-1-base), --steps, --batch, --reps, --image-size.
+Flags: --model (default xl-base-1.0, the BASELINE.json north-star config),
+--steps, --batch, --reps, --image-size.
 """
 
 import argparse
@@ -64,7 +65,7 @@ def run_config(pipe, prompt, steps, batch, traced, reps, height, width, key):
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument('--model', default='v2-1-base')
+    parser.add_argument('--model', default='xl-base-1.0')
     parser.add_argument('--steps', type=int, default=50)
     parser.add_argument('--batch', type=int, default=1)
     # Median over several reps: per-call wall time through the remote-TPU

@@ -66,14 +66,65 @@ def get_tokenizing_mapping(prompt, tokenizer):
     return merge_idxs, words
 
 
+def dependency_svg(text: str) -> str:
+    """Inline displaCy-style dependency-parse SVG: tokens on a baseline with
+    POS tags, labeled arcs from head to dependent with arrowheads (the analog
+    of the reference's ``spacy.displacy.render``, ``daam/run/demo.py:18-22``).
+    """
+    from html import escape
+
+    tokens = list(cached_nlp(text))
+    if not tokens:
+        return '<svg class="dep" width="40" height="40"></svg>'
+
+    spacing = max(70, 18 * max(len(t.text) for t in tokens))
+    x0, word_y = 30, 40  # arcs stack above word_y; computed after levels
+    arcs = []
+    max_level = 1
+    for tok in tokens:
+        if tok.head.i == tok.i:
+            continue
+        max_level = max(max_level, abs(tok.head.i - tok.i))
+    word_y = 40 + 26 * max_level
+    height = word_y + 45
+    width = x0 * 2 + spacing * max(len(tokens) - 1, 1)
+
+    words = []
+    for i, tok in enumerate(tokens):
+        x = x0 + i * spacing
+        words.append(
+            f'<text text-anchor="middle" x="{x}" y="{word_y}" '
+            f'class="dep-word">{escape(tok.text)}'
+            f'<tspan x="{x}" dy="18" class="dep-pos">{tok.pos_}</tspan></text>')
+
+    for tok in tokens:
+        i, j = tok.i, tok.head.i
+        if i == j:
+            continue
+        xa = x0 + min(i, j) * spacing + 6
+        xb = x0 + max(i, j) * spacing - 6
+        top = word_y - 18 - 26 * abs(i - j)
+        y = word_y - 16
+        xm = (xa + xb) / 2
+        # arrowhead sits at the dependent's end of the arc
+        xd = xa if i < j else xb
+        arcs.append(
+            f'<path class="dep-arc" d="M{xa},{y} C{xa},{top} {xb},{top} '
+            f'{xb},{y}" fill="none"/>'
+            f'<polygon class="dep-arrow" points="{xd - 4},{y - 5} '
+            f'{xd + 4},{y - 5} {xd},{y + 3}"/>'
+            f'<text text-anchor="middle" x="{xm:.0f}" '
+            f'y="{(top + y) / 2 + 2:.0f}" class="dep-label">'
+            f'{escape(tok.dep_)}</text>')
+
+    return (f'<svg class="dep" width="{width}" height="{height}" '
+            f'xmlns="http://www.w3.org/2000/svg">' +
+            ''.join(arcs) + ''.join(words) + '</svg>')
+
+
 def dependency_html(text: str) -> str:
-    """Plain-HTML dependency readout (the displaCy-SVG analog)."""
-    rows = ''.join(
-        f'<tr><td>{tok.text}</td><td>{tok.pos_}</td><td>{tok.dep_}</td>'
-        f'<td>{tok.head.text}</td></tr>'
-        for tok in cached_nlp(text))
-    return ('<table class="dep"><tr><th>token</th><th>POS</th>'
-            '<th>dep</th><th>head</th></tr>' + rows + '</table>')
+    """Dependency readout embedded in the page (displaCy-style SVG)."""
+    return dependency_svg(text)
 
 
 def _img_to_b64(pil_img) -> str:
@@ -105,8 +156,12 @@ body {{ font-family: sans-serif; margin: 2em; max-width: 1100px; }}
 .grid {{ display: flex; flex-wrap: wrap; gap: 8px; }}
 .cell {{ text-align: center; font-size: 13px; }}
 img {{ max-width: 256px; }}
-table.dep {{ border-collapse: collapse; font-size: 13px; }}
-table.dep td, table.dep th {{ border: 1px solid #ccc; padding: 2px 8px; }}
+svg.dep {{ overflow: visible; }}
+svg.dep .dep-word {{ font-size: 14px; fill: #222; }}
+svg.dep .dep-pos {{ font-size: 11px; fill: #999; }}
+svg.dep .dep-label {{ font-size: 10px; fill: #7766aa; }}
+svg.dep .dep-arc {{ stroke: #7766aa; stroke-width: 1.2px; }}
+svg.dep .dep-arrow {{ fill: #7766aa; }}
 textarea {{ width: 60%; }}
 </style></head>
 <body>

@@ -139,7 +139,13 @@ def run_evaluation(cfg: EvalConfig):
     evaluator = (UnsupervisedEvaluator() if cfg.eval_type == 'hungarian'
                  else MeanEvaluator())
     scorer = _SCORERS[cfg.eval_type]
-    for path in iter_experiment_dirs(cfg.input_folder):
+    try:  # corpus-scale progress, like the reference (daam/run/evaluate.py:31)
+        from tqdm import tqdm
+        dirs = tqdm(list(iter_experiment_dirs(cfg.input_folder)),
+                    unit='exp', desc='daam evaluate')
+    except ImportError:
+        dirs = iter_experiment_dirs(cfg.input_folder)
+    for path in dirs:
         scorer(load_experiment(path, cfg), cfg, evaluator)
     return evaluator
 

@@ -20,6 +20,23 @@ import time
 
 import numpy as np
 
+try:
+    from tqdm import tqdm
+except ImportError:  # offline/minimal env: no-op progress shim
+    class tqdm:  # noqa: N801 - drop-in stand-in
+        def __init__(self, total=None, **kwargs):
+            self.total = total
+
+        def update(self, n=1):
+            pass
+
+        @staticmethod
+        def write(msg):
+            print(msg)
+
+        def close(self):
+            pass
+
 from ..experiment import GenerationExperiment, build_word_list_coco80
 from ..nlp import cached_nlp, lemmatize
 from ..trace import trace
@@ -229,7 +246,11 @@ def main(argv=None):
     pipe = load_pipeline(args)
 
     # Batch prompts into pipeline calls (batch tracing is a TPU-side
-    # extension; batch_size=1 reproduces the reference exactly).
+    # extension; batch_size=1 reproduces the reference exactly).  Corpus runs
+    # (coco/template: up to --gen-limit prompts) get a tqdm progress bar like
+    # the reference main loop (``daam/run/generate.py:210``).
+    progress = tqdm(total=len(prompts), unit='img', desc='daam generate',
+                    disable=len(prompts) <= 1)
     for gen_idx in range(0, len(prompts), args.batch_size):
         chunk = prompts[gen_idx:gen_idx + args.batch_size]
         chunk_seeds = []
@@ -277,8 +298,10 @@ def main(argv=None):
                     if args.all_heads:
                         save_all_heads(tc, args, prompt_id, prompt, seed, word,
                                        out.images[offset])
-                print(f'[daam] {prompt_id}: {prompt!r} -> '
-                      f'{Path(args.output_folder) / prompt_id}')
+                progress.update(1)
+                progress.write(f'[daam] {prompt_id}: {prompt!r} -> '
+                               f'{Path(args.output_folder) / prompt_id}')
+    progress.close()
 
 
 def save_all_heads(tc, args, prompt_id, prompt, seed, word, image):

@@ -65,7 +65,14 @@ def test_word_pattern_matches_clip_examples():
     assert WORD_PATTERN.findall('<|startoftext|>hi<|endoftext|>')[0] == '<|startoftext|>'
 
 
-def test_demo_dependency_html_escapes():
+def test_demo_dependency_svg():
+    """The displaCy-style parse render: inline SVG with word labels, POS
+    tags, and at least one labeled arc; markup-unsafe text is escaped."""
     from daam_tpu.run.demo import dependency_html
-    html = dependency_html('a dog runs')
-    assert '<table' in html and 'dog' in html
+    svg = dependency_html('a dog runs')
+    assert svg.startswith('<svg') and 'dog' in svg
+    assert 'dep-arc' in svg and 'dep-pos' in svg
+    # markup-unsafe token text is escaped ('<' tokenizes separately and must
+    # render as &lt;, never as a raw angle bracket inside a text node)
+    hostile = dependency_html('a <b> dog')
+    assert '&lt;' in hostile and '&gt;' in hostile
