@@ -136,3 +136,49 @@ def test_demo_generate_counterfactual(tmp_path):
     assert 'data:image/png;base64' in html
     assert 'transplanted attention' in html
     assert 'DAAM maps' in html
+
+
+def test_demo_gradio_wiring(monkeypatch):
+    """Smoke-test the --gradio code path with a stubbed gradio module.
+
+    Mirrors the reference Gradio app wiring (daam/run/demo.py:163-218)
+    without requiring gradio to be installed: the stub records the
+    Interface construction and launch args, and the run callback is
+    exercised once end-to-end on the tiny fixture pipeline.
+    """
+    import sys
+    import types
+
+    from daam_tpu.pipeline.sd import StableDiffusionPipeline
+    from daam_tpu.run import demo as demo_mod
+
+    calls = {}
+
+    class _Widget:
+        def __init__(self, *a, **kw):
+            pass
+
+    class _Interface:
+        def __init__(self, fn=None, inputs=None, outputs=None, **kw):
+            calls['fn'] = fn
+            calls['n_inputs'] = len(inputs)
+
+        def launch(self, server_name=None, server_port=None, **kw):
+            calls['launch'] = (server_name, server_port)
+
+    stub = types.ModuleType('gradio')
+    stub.Interface = _Interface
+    stub.Textbox = _Widget
+    stub.Slider = _Widget
+    stub.Checkbox = _Widget
+    stub.HTML = _Widget
+    monkeypatch.setitem(sys.modules, 'gradio', stub)
+
+    pipe = StableDiffusionPipeline.from_pretrained('tiny')
+    args = demo_mod.get_args(['--tiny', '--port', '8123'])
+    demo_mod._gradio_main(pipe, args)
+
+    assert calls['launch'] == ('0.0.0.0', 8123)
+    assert calls['n_inputs'] == 5
+    html = calls['fn']('A blue dog', '', '', 2, False)
+    assert 'data:image/png;base64' in html
