@@ -68,10 +68,14 @@ def _self_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_valid: int)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32
-                                   ).astype(o_ref.dtype)
+    # Normalize the (TQ, hd) output instead of the (TQ, L) probs: the kernel
+    # is VPU-bound (softmax passes over the score tile dominate the two MXU
+    # matmuls), and folding 1/denom into the output makes the division L/hd
+    # times cheaper.  exp(s-m) is already in [0, 1], so the bf16 cast loses
+    # nothing vs casting normalized probabilities.
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('q_tile',))
