@@ -30,43 +30,53 @@ __all__ = ['GlobalHeatMap', 'RawHeatMapCollection', 'WordHeatMap', 'ParsedHeatMa
 RawHeatMapKey = Tuple[int, int, int]  # (factor, layer, head)
 
 
+def _jet_composite(image_u8: np.ndarray, heat: np.ndarray,
+                   color_normalize: bool) -> np.ndarray:
+    """Single-pass overlay composite: each pixel blends the jet color of its
+    heat value against the photo, weighted by the heat itself.
+
+    Equivalent to the reference's two stacked ``imshow`` calls (jet heat map
+    below, photo with per-pixel alpha ``1 − heat`` on top,
+    ``daam/heatmap.py:20-53``) — matplotlib "over" compositing of those
+    layers reduces to exactly ``photo·(1−heat) + jet·heat`` — but computed
+    directly in numpy so one RGB array goes to the renderer.
+    """
+    from matplotlib import cm
+
+    if color_normalize:
+        lo, hi = float(heat.min()), float(heat.max())
+        levels = (heat - lo) / (hi - lo) if hi > lo else np.zeros_like(heat)
+    else:
+        levels = np.clip(heat, 0.0, 1.0)
+    jet_rgb = cm.get_cmap('jet')(levels)[..., :3]
+    photo = np.asarray(image_u8, dtype=np.float32) / 255.0
+    w = np.clip(heat, 0.0, 1.0)[..., None]
+    return np.clip(photo * (1.0 - w) + jet_rgb * w, 0.0, 1.0)
+
+
 def plot_overlay_heat_map(im, heat_map, word: Optional[str] = None,
                           out_file=None, crop: Optional[int] = None,
                           color_normalize: bool = True, ax=None):
-    """Jet-colormap heat-map overlay with alpha = 1 − heat
+    """Jet-colormap heat-map overlay, heat-weighted against the image
     (reference ``daam/heatmap.py:20-53``)."""
     import matplotlib.pyplot as plt
 
-    if ax is None:
-        plt.clf()
-        plt.rcParams.update({'font.size': 24})
-        plt_ = plt
-    else:
-        plt_ = ax
-
     im = np.asarray(im)
     heat_map = np.squeeze(np.asarray(heat_map, dtype=np.float32))
-
-    if crop is not None:
-        heat_map = heat_map[crop:-crop, crop:-crop]
+    if crop:
         im = im[crop:-crop, crop:-crop]
+        heat_map = heat_map[crop:-crop, crop:-crop]
 
-    if color_normalize:
-        plt_.imshow(heat_map, cmap='jet')
-    else:
-        heat_map = np.clip(heat_map, 0, 1)
-        plt_.imshow(heat_map, cmap='jet', vmin=0.0, vmax=1.0)
+    composite = _jet_composite(im, heat_map, color_normalize)
 
-    im = np.asarray(im, dtype=np.float32) / 255
-    im = np.concatenate((im, 1 - heat_map[..., None]), axis=-1)
-    plt_.imshow(im)
-
+    target = ax
+    if target is None:
+        plt.clf()
+        plt.rcParams.update({'font.size': 24})
+        target = plt
+    target.imshow(composite)
     if word is not None:
-        if ax is None:
-            plt.title(word)
-        else:
-            ax.set_title(word)
-
+        (plt.title if ax is None else ax.set_title)(word)
     if out_file is not None:
         plt.savefig(out_file)
 
