@@ -113,3 +113,31 @@ def test_plot_overlay_writes_file(tmp_path, tok):
     out = tmp_path / 'overlay.png'
     plot_overlay_heat_map(img, hm, word='dog', out_file=out)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_jet_composite_matches_stacked_alpha_compositing():
+    """The single-pass composite equals the reference's two stacked imshow
+    layers (jet heat map below, photo with per-pixel alpha 1-heat on top,
+    daam/heatmap.py:20-53): over-compositing those reduces to
+    photo*(1-heat) + jet(levels)*heat."""
+    from matplotlib import cm
+
+    from daam_tpu.heatmap import _jet_composite
+
+    rng = np.random.RandomState(3)
+    photo_u8 = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    heat = rng.rand(16, 16).astype(np.float32) * 1.2 - 0.1  # incl. out-of-range
+
+    for color_normalize in (True, False):
+        if color_normalize:
+            levels = (heat - heat.min()) / (heat.max() - heat.min())
+        else:
+            levels = np.clip(heat, 0, 1)
+        jet = cm.get_cmap('jet')(levels)[..., :3]
+        alpha = np.clip(1 - np.clip(heat, 0, 1), 0, 1)[..., None]
+        photo = photo_u8.astype(np.float32) / 255
+        expected = photo * alpha + jet * (1 - alpha)   # "over" compositing
+
+        got = _jet_composite(photo_u8, heat if not color_normalize
+                             else heat, color_normalize)
+        np.testing.assert_allclose(got, np.clip(expected, 0, 1), atol=1e-6)
