@@ -18,6 +18,8 @@
 //   // encode to ids with SOS/EOS + pad to max_len:
 //   int    daam_bpe_encode(void*, const char* text, int* out, int max_len,
 //                          int pad_id);
+//   // vocab lookup for a single token string (-1 if absent):
+//   int    daam_bpe_token_to_id(void*, const char* token);
 
 #include <algorithm>
 #include <cstdint>
@@ -297,6 +299,12 @@ int daam_bpe_vocab_size(void* h) {
     for (const auto& kv : static_cast<Bpe*>(h)->encoder)
         mx = std::max(mx, kv.second);
     return mx + 1;
+}
+
+int daam_bpe_token_to_id(void* h, const char* token) {
+    auto* b = static_cast<Bpe*>(h);
+    auto it = b->encoder.find(token);
+    return it != b->encoder.end() ? it->second : -1;
 }
 
 int daam_bpe_tokenize(void* h, const char* text, char* out, int cap) {

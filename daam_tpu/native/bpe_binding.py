@@ -58,6 +58,8 @@ def _load_lib():
         for fn in ('daam_bpe_sot_id', 'daam_bpe_eot_id', 'daam_bpe_vocab_size'):
             getattr(lib, fn).restype = ctypes.c_int
             getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.daam_bpe_token_to_id.restype = ctypes.c_int
+        lib.daam_bpe_token_to_id.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         _LIB = lib
         return _LIB
 
@@ -108,11 +110,13 @@ class NativeBpeTokenizer(_TokenizerBase):
         return raw.split('\n')[:n] if n else []
 
     def convert_tokens_to_ids(self, tokens: List[str]) -> List[int]:
-        # encode() path uses the native call directly; this method exists for
-        # API completeness and roundtrips through text.
-        from ..tokenization import ClipBpeTokenizer  # lightweight id lookup
-        raise NotImplementedError(
-            'NativeBpeTokenizer encodes whole strings; use encode()/__call__')
+        """Vocab lookup via the native encoder map (unknown tokens -> EOT,
+        matching :meth:`ClipBpeTokenizer.convert_tokens_to_ids`)."""
+        out = []
+        for t in tokens:
+            i = self._lib.daam_bpe_token_to_id(self._handle, t.encode('utf-8'))
+            out.append(self.eot_id if i < 0 else i)
+        return out
 
     def encode(self, text: str, add_special_tokens: bool = True,
                truncation: bool = True) -> List[int]:

@@ -61,6 +61,12 @@ def test_encode_parity(both, text):
     assert cc.encode(text) == py.encode(text)
 
 
+def test_convert_tokens_to_ids_parity(both):
+    py, cc = both
+    toks = py.tokenize('the dog runs') + ['<|startoftext|>', 'zz-not-a-token']
+    assert cc.convert_tokens_to_ids(toks) == py.convert_tokens_to_ids(toks)
+
+
 def test_call_parity(both):
     py, cc = both
     a = py(['the dog', 'a cat runs'], return_tensors='np')
