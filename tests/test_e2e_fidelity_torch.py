@@ -1,0 +1,204 @@
+"""End-to-end heat-map fidelity vs a torch implementation with shared weights.
+
+The strongest offline analog of ``scripts/fidelity_vs_reference.py`` (which
+needs diffusers + real checkpoints): drive the *same* fabricated UNet weights
+through
+
+1. our traced pipeline (capture inside the jitted sampling scan), and
+2. a torch denoise loop over ``_TTinyUNet`` (the from-scratch torch module
+   implementing the diffusers math, ``test_weights_conversion.py``) with
+   reference-DAAM attention capture and aggregation semantics
+   (``daam/trace.py:252-304`` capture → ``daam/trace.py:83-132`` aggregation:
+   cond-half filter, per-(layer, head) running sum over steps, bicubic
+   upsample + clamp, mean over entries, truncate to len+2),
+
+then compare final latents and the per-token global heat maps (Spearman ≥0.99
+is the BASELINE.json:5 gate).  Both loops share our scheduler step functions
+and text context, so any disagreement isolates to the UNet forward, the
+capture path, or the aggregation math.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+import torch.nn.functional as F  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from daam_tpu import trace  # noqa: E402
+from daam_tpu.models.configs import get_pipeline_config  # noqa: E402
+from daam_tpu.models.weights import _convert_unet  # noqa: E402
+from daam_tpu.pipeline.sd import StableDiffusionPipeline  # noqa: E402
+
+from test_weights_conversion import _TTinyUNet, _fabricate_unet_checkpoint  # noqa: E402
+
+PROMPT = 'a dog runs'
+STEPS = 4
+GUIDANCE = 7.5
+SEED = 0
+
+
+def _spearman(a, b):
+    ar = np.argsort(np.argsort(a.ravel()))
+    br = np.argsort(np.argsort(b.ravel()))
+    ar = ar - ar.mean()
+    br = br - br.mean()
+    denom = np.sqrt((ar ** 2).sum() * (br ** 2).sum())
+    return float((ar * br).sum() / denom) if denom else 1.0
+
+
+@pytest.fixture(scope='module')
+def shared():
+    """Pipeline + torch UNet sharing one fabricated checkpoint."""
+    pipe = StableDiffusionPipeline.from_pretrained('tiny')
+    cfg = pipe.config.unet
+    sd = _fabricate_unet_checkpoint(cfg)
+    pipe.params['unet'] = _convert_unet(sd, cfg)
+
+    tmodel = _TTinyUNet(cfg)
+    tmodel.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
+                           strict=True)
+    tmodel.eval()
+    return pipe, tmodel
+
+
+def _install_capture(tmodel, store):
+    """Reference-style capture: record every cross-attention (attn2) softmax
+    probability tensor, excluding the mid block (the reference locator skips
+    it unless save/load_heads, ``daam/hook.py:89-127``)."""
+    for name, mod in tmodel.named_modules():
+        if not name.endswith('attn2') or name.startswith('mid_block'):
+            continue
+
+        def make_fwd(mod=mod, name=name):
+            def fwd(x, ctx=None):
+                c = x if ctx is None else ctx
+                B, L, C = x.shape
+                hd = C // mod.heads
+
+                def split(t):
+                    return t.reshape(B, -1, mod.heads, hd).permute(0, 2, 1, 3)
+
+                q = split(mod.to_q(x))
+                k, v = split(mod.to_k(c)), split(mod.to_v(c))
+                p = torch.softmax(q @ k.transpose(-1, -2) * hd ** -0.5, dim=-1)
+                store.append((name, p.detach().clone()))
+                o = (p @ v).permute(0, 2, 1, 3).reshape(B, L, C)
+                return mod.to_out[0](o)
+            return fwd
+
+        mod.forward = make_fwd()
+
+
+def _torch_denoise(pipe, tmodel, context_np, store):
+    """The pipeline's sampling loop, re-run eagerly through the torch UNet
+    using the *same* scheduler functions and initial latents."""
+    sched = pipe.scheduler
+    cfg = pipe.config.unet
+    latent_shape = (1, cfg.sample_size, cfg.sample_size, cfg.in_channels)
+
+    key = jax.random.PRNGKey(SEED)
+    latents = np.asarray(
+        jax.random.normal(key, latent_shape, dtype=jnp.float32)
+        * sched.init_noise_sigma)
+
+    state = jax.tree.map(np.asarray,
+                         sched.init_state(STEPS, latent_shape, jnp.float32))
+    timesteps = np.asarray(state['timesteps'])
+    context_t = torch.from_numpy(context_np)
+
+    for i in range(sched.num_scan_steps(STEPS)):
+        latent_in = np.concatenate([latents, latents], axis=0)
+        latent_in = np.asarray(sched.scale_model_input(state, latent_in, i))
+        t = np.full((2,), timesteps[i], dtype=np.float32)
+        with torch.no_grad():
+            eps = tmodel(torch.from_numpy(latent_in.transpose(0, 3, 1, 2)),
+                         torch.from_numpy(t), context_t)
+        eps = eps.numpy().transpose(0, 2, 3, 1)
+        eps_u, eps_c = eps[:1], eps[1:]
+        eps = eps_u + GUIDANCE * (eps_c - eps_u)
+        latents_j, state = sched.step(state, i, jnp.asarray(eps),
+                                      jnp.asarray(latents))
+        latents = np.asarray(latents_j)
+        state = jax.tree.map(np.asarray, state)
+    return latents
+
+
+def _reference_aggregate(store, x, n_tokens):
+    """Reference global-heat-map math over the captured torch probs
+    (``daam/trace.py:83-132`` + ``_unravel_attn`` ``daam/trace.py:219-244``)."""
+    sums = {}
+    for name, p in store:  # p: (2B, H, hw, T)
+        p_cond = p[p.shape[0] // 2:]         # conditional CFG half
+        key = name
+        sums[key] = p_cond[0] + sums.get(key, 0.0)  # (H, hw, T) summed over steps
+
+    entries = []
+    for name, s in sums.items():
+        H, hw, T = s.shape
+        edge = int(round(hw ** 0.5))
+        maps = s.reshape(H, edge, edge, T).permute(0, 3, 1, 2)  # (H, T, h, w)
+        for h in range(H):
+            up = F.interpolate(maps[h][:, None], size=(x, x), mode='bicubic')
+            entries.append(up.clamp(min=0)[:, 0])
+    glob = torch.stack(entries).mean(0)      # (T, x, x)
+    return glob[:n_tokens + 2].numpy()
+
+
+def test_e2e_heat_map_fidelity(shared):
+    pipe, tmodel = shared
+
+    with trace(pipe) as tc:
+        out = pipe(PROMPT, num_inference_steps=STEPS,
+                   generator=jax.random.PRNGKey(SEED),
+                   guidance_scale=GUIDANCE)
+        ours = np.asarray(tc.compute_global_heat_map().heat_maps)
+        ours_img = np.asarray(out.images[0])
+
+    # identical text context on both sides (CLIP parity is proven separately)
+    ids = pipe._encode_tokens([PROMPT])
+    neg = pipe._encode_tokens([''])
+    cond, _ = pipe._text_forward(pipe.params, jnp.asarray(ids))
+    uncond, _ = pipe._text_forward(pipe.params, jnp.asarray(neg))
+    context_np = np.concatenate([np.asarray(uncond), np.asarray(cond)], axis=0)
+
+    store = []
+    _install_capture(tmodel, store)
+    final_latents = _torch_denoise(pipe, tmodel, context_np, store)
+
+    # 1. the denoise loops agree (UNet forward parity over the full schedule)
+    images = pipe._jit_cache[('decode', 1, pipe.config.image_size,
+                              pipe.config.image_size)](
+        pipe.params, jnp.asarray(final_latents))
+    torch_img = np.clip(np.asarray(images[0]) * 255 + 0.5, 0, 255).astype(np.uint8)
+    assert np.abs(torch_img.astype(int) - ours_img.astype(int)).max() <= 2
+
+    # 2. reference-semantics aggregation of the torch-captured probabilities
+    n_tokens = len(pipe.tokenizer.tokenize(PROMPT))
+    x = int(round(np.sqrt(tc.latent_hw)))
+    theirs = _reference_aggregate(store, x, n_tokens)
+
+    assert ours.shape == theirs.shape
+    # BASELINE.json:5 gate: per-token Spearman >= 0.99 (both real tokens and
+    # the SOS/pad rows the reference keeps)
+    for tok in range(ours.shape[0]):
+        rho = _spearman(ours[tok], theirs[tok])
+        assert rho >= 0.99, f'token {tok}: Spearman {rho:.4f}'
+    np.testing.assert_allclose(ours, theirs, rtol=0.05, atol=0.02)
+
+
+def test_e2e_capture_step_count(shared):
+    """The torch loop captures steps × located-layers calls (sanity that the
+    capture in test 1 actually saw the whole schedule)."""
+    pipe, tmodel = shared
+    store = []
+    _install_capture(tmodel, store)
+    ids = pipe._encode_tokens([PROMPT])
+    cond, _ = pipe._text_forward(pipe.params, jnp.asarray(ids))
+    ctx = np.concatenate([np.asarray(cond)] * 2, axis=0)
+    _torch_denoise(pipe, tmodel, ctx, store)
+    n_layers = len({n for n, _ in store})
+    assert n_layers == 3  # tiny: 1 down + 2 up cross-attn layers (mid excluded)
+    assert len(store) == STEPS * n_layers
