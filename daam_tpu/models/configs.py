@@ -152,6 +152,23 @@ MODEL_PRESETS = {
                         cross_attention_dim=32, norm_num_groups=8),
         vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
                       norm_num_groups=8, sample_size=64)),
+    # 'tiny-v1' mirrors SD 1.x geometry: conv 1×1 proj_in/out
+    # (use_linear_projection=False) and a uniform head count, so head_dim
+    # differs per level like v1's 40/80/160.
+    'tiny-v1': PipelineConfig(
+        name='tiny-v1',
+        text=CLIPTextConfig(vocab_size=49408, hidden_size=32,
+                            intermediate_size=64, num_hidden_layers=2,
+                            num_attention_heads=2, hidden_act='quick_gelu'),
+        unet=UNetConfig(sample_size=8, block_out_channels=(32, 64),
+                        down_block_types=('cross', 'plain'),
+                        up_block_types=('cross', 'plain'),
+                        layers_per_block=1, attention_head_dim=(2, 2),
+                        transformer_layers_per_block=(1, 1),
+                        cross_attention_dim=32, norm_num_groups=8,
+                        use_linear_projection=False),
+        vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                      norm_num_groups=8, sample_size=64)),
     'tiny-xl': PipelineConfig(
         name='tiny-xl',
         text=CLIPTextConfig(vocab_size=49408, hidden_size=32,

@@ -178,6 +178,19 @@ def test_sdxl_tiny_pipeline_traced():
     assert out.images[0].size == (16, 16)
 
 
+def test_v1_tiny_pipeline_traced():
+    """SD 1.x geometry (conv proj_in/out, per-level head dims) traced
+    end-to-end — covers the use_linear_projection=False UNet path."""
+    pipe = StableDiffusionPipeline.from_pretrained('tiny-v1', scheduler='ddim')
+    with trace(pipe) as tc:
+        out = pipe('a dog runs', num_inference_steps=2, generator=set_seed(0))
+        hm = tc.compute_global_heat_map()
+        maps = np.asarray(hm.heat_maps)
+        assert maps.shape == (5, 96, 96)
+        assert np.isfinite(maps).all()
+    assert np.isfinite(np.array(out.images[0], dtype=np.float32)).all()
+
+
 def test_scheduler_variants_run(pipe):
     from daam_tpu.pipeline.schedulers import get_scheduler
     for name in ('pndm', 'euler', 'dpm++'):

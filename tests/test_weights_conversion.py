@@ -445,13 +445,18 @@ class _TTinyUNet(tnn.Module):
         return self.conv_out(F.silu(self.conv_norm_out(h)))
 
 
-def test_unet_conversion_numerical_parity():
-    """Converted Flax UNet forward == torch diffusers-math forward."""
+@pytest.mark.parametrize('preset', ['tiny', 'tiny-v1'])
+def test_unet_conversion_numerical_parity(preset):
+    """Converted Flax UNet forward == torch diffusers-math forward.
+
+    'tiny' covers the SD2 geometry (linear proj_in/out); 'tiny-v1' the SD1.x
+    geometry (conv 1×1 projections, uniform head count → per-level head dims,
+    reference model registry ``daam/run/generate.py:23-30``)."""
     from daam_tpu.models.configs import get_pipeline_config
     from daam_tpu.models.unet import UNet2DConditionModel
     from daam_tpu.models.weights import _convert_unet
 
-    cfg = get_pipeline_config('tiny').unet
+    cfg = get_pipeline_config(preset).unet
     sd = _fabricate_unet_checkpoint(cfg)
 
     tmodel = _TTinyUNet(cfg)
