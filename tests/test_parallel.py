@@ -67,6 +67,31 @@ def test_dp_tp_traced_generation(pipe):
     np.testing.assert_allclose(ref_maps, sharded_maps, rtol=1e-2, atol=1e-3)
 
 
+def test_tp4_traced_matches_single_device():
+    """4-way head sharding (dp=2 × tp=4): needs head counts divisible by 4 at
+    every level, so this uses a widened tiny config (heads 4/8)."""
+    from dataclasses import replace
+    from daam_tpu.models.configs import get_pipeline_config
+    from daam_tpu.models import weights as W
+
+    base = get_pipeline_config('tiny')
+    cfg = replace(base, unet=replace(base.unet, attention_head_dim=(4, 8)))
+    params = W.init_random_params(cfg, seed=0)
+    pipe = StableDiffusionPipeline(cfg, params)
+
+    prompts = ['a dog runs', 'a cat sits']
+    with trace(pipe) as tc:
+        pipe(prompts, num_inference_steps=2, generator=set_seed(0))
+        ref_maps = np.asarray(tc.compute_global_heat_map(batch_idx=1).heat_maps)
+
+    mesh = make_mesh(dp=2, tp=4)
+    with trace(pipe) as tc2:
+        generate_batch(pipe, prompts, mesh=mesh, num_inference_steps=2, seed=0)
+        sharded = np.asarray(tc2.compute_global_heat_map(batch_idx=1).heat_maps)
+
+    np.testing.assert_allclose(ref_maps, sharded, rtol=1e-2, atol=1e-3)
+
+
 def test_batch_not_divisible_raises(pipe):
     mesh = make_mesh(dp=4, tp=1)
     with pytest.raises(AssertionError):
