@@ -13,9 +13,10 @@ through
    upsample + clamp, mean over entries, truncate to len+2),
 
 then compare final latents and the per-token global heat maps (Spearman ≥0.99
-is the BASELINE.json:5 gate).  Both loops share our scheduler step functions
-and text context, so any disagreement isolates to the UNet forward, the
-capture path, or the aggregation math.
+is the BASELINE.json:5 gate), including the head/layer filter and normalize
+query variants.  Both loops share our scheduler step functions and text
+context, so any disagreement isolates to the UNet forward, the capture path,
+or the aggregation math.
 """
 
 import numpy as np
@@ -28,7 +29,6 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from daam_tpu import trace  # noqa: E402
-from daam_tpu.models.configs import get_pipeline_config  # noqa: E402
 from daam_tpu.models.weights import _convert_unet  # noqa: E402
 from daam_tpu.pipeline.sd import StableDiffusionPipeline  # noqa: E402
 
@@ -47,6 +47,16 @@ def _spearman(a, b):
     br = br - br.mean()
     denom = np.sqrt((ar ** 2).sum() * (br ** 2).sum())
     return float((ar * br).sum() / denom) if denom else 1.0
+
+
+def _assert_close(ours, theirs):
+    assert ours.shape == theirs.shape
+    # BASELINE.json:5 gate: per-token Spearman >= 0.99 (both real tokens and
+    # the SOS/pad rows the reference keeps)
+    for tok in range(ours.shape[0]):
+        rho = _spearman(ours[tok], theirs[tok])
+        assert rho >= 0.99, f'token {tok}: Spearman {rho:.4f}'
+    np.testing.assert_allclose(ours, theirs, rtol=0.05, atol=0.02)
 
 
 @pytest.fixture(scope='module')
@@ -126,35 +136,45 @@ def _torch_denoise(pipe, tmodel, context_np, store):
     return latents
 
 
-def _reference_aggregate(store, x, n_tokens):
-    """Reference global-heat-map math over the captured torch probs
-    (``daam/trace.py:83-132`` + ``_unravel_attn`` ``daam/trace.py:219-244``)."""
+def _layer_sums(store):
+    """Per-layer (H, hw, T) probability sums over steps, cond half only
+    (``daam/trace.py:240``, ``daam/heatmap.py:153-156``)."""
     sums = {}
     for name, p in store:  # p: (2B, H, hw, T)
-        p_cond = p[p.shape[0] // 2:]         # conditional CFG half
-        key = name
-        sums[key] = p_cond[0] + sums.get(key, 0.0)  # (H, hw, T) summed over steps
+        p_cond = p[p.shape[0] // 2:]
+        sums[name] = p_cond[0] + sums.get(name, 0.0)
+    return sums
 
+
+def _reference_aggregate(store, x, n_tokens, head_idx=None, layer_pred=None):
+    """Reference global-heat-map math over the captured torch probs
+    (``daam/trace.py:83-132`` + ``_unravel_attn`` ``daam/trace.py:219-244``),
+    with the same head/layer filtering hooks as ``compute_global_heat_map``."""
     entries = []
-    for name, s in sums.items():
+    for name, s in _layer_sums(store).items():
+        if layer_pred is not None and not layer_pred(name):
+            continue
         H, hw, T = s.shape
         edge = int(round(hw ** 0.5))
         maps = s.reshape(H, edge, edge, T).permute(0, 3, 1, 2)  # (H, T, h, w)
         for h in range(H):
+            if head_idx is not None and h != head_idx:
+                continue
             up = F.interpolate(maps[h][:, None], size=(x, x), mode='bicubic')
             entries.append(up.clamp(min=0)[:, 0])
     glob = torch.stack(entries).mean(0)      # (T, x, x)
     return glob[:n_tokens + 2].numpy()
 
 
-def test_e2e_heat_map_fidelity(shared):
+@pytest.fixture(scope='module')
+def runs(shared):
+    """One traced run of our pipeline + one captured torch denoise loop."""
     pipe, tmodel = shared
 
     with trace(pipe) as tc:
         out = pipe(PROMPT, num_inference_steps=STEPS,
                    generator=jax.random.PRNGKey(SEED),
                    guidance_scale=GUIDANCE)
-        ours = np.asarray(tc.compute_global_heat_map().heat_maps)
         ours_img = np.asarray(out.images[0])
 
     # identical text context on both sides (CLIP parity is proven separately)
@@ -168,30 +188,82 @@ def test_e2e_heat_map_fidelity(shared):
     _install_capture(tmodel, store)
     final_latents = _torch_denoise(pipe, tmodel, context_np, store)
 
-    # 1. the denoise loops agree (UNet forward parity over the full schedule)
-    images = pipe._jit_cache[('decode', 1, pipe.config.image_size,
-                              pipe.config.image_size)](
-        pipe.params, jnp.asarray(final_latents))
-    torch_img = np.clip(np.asarray(images[0]) * 255 + 0.5, 0, 255).astype(np.uint8)
-    assert np.abs(torch_img.astype(int) - ours_img.astype(int)).max() <= 2
-
-    # 2. reference-semantics aggregation of the torch-captured probabilities
     n_tokens = len(pipe.tokenizer.tokenize(PROMPT))
     x = int(round(np.sqrt(tc.latent_hw)))
-    theirs = _reference_aggregate(store, x, n_tokens)
+    return dict(pipe=pipe, tc=tc, store=store, ours_img=ours_img,
+                final_latents=final_latents, n_tokens=n_tokens, x=x)
 
-    assert ours.shape == theirs.shape
-    # BASELINE.json:5 gate: per-token Spearman >= 0.99 (both real tokens and
-    # the SOS/pad rows the reference keeps)
-    for tok in range(ours.shape[0]):
-        rho = _spearman(ours[tok], theirs[tok])
-        assert rho >= 0.99, f'token {tok}: Spearman {rho:.4f}'
-    np.testing.assert_allclose(ours, theirs, rtol=0.05, atol=0.02)
+
+def test_e2e_final_images_agree(runs):
+    """The two denoise loops agree (UNet forward parity over the schedule)."""
+    pipe = runs['pipe']
+    images = pipe._jit_cache[('decode', 1, pipe.config.image_size,
+                              pipe.config.image_size)](
+        pipe.params, jnp.asarray(runs['final_latents']))
+    torch_img = np.clip(np.asarray(images[0]) * 255 + 0.5, 0,
+                        255).astype(np.uint8)
+    assert np.abs(torch_img.astype(int) -
+                  runs['ours_img'].astype(int)).max() <= 2
+
+
+def test_e2e_heat_map_fidelity(runs):
+    ours = np.asarray(runs['tc'].compute_global_heat_map().heat_maps)
+    theirs = _reference_aggregate(runs['store'], runs['x'], runs['n_tokens'])
+    _assert_close(ours, theirs)
+
+
+def test_e2e_head_filter_fidelity(runs):
+    """``compute_global_heat_map(head_idx=…)`` matches the reference math
+    restricted to that head (``daam/trace.py:112-117`` filter)."""
+    for h in (0, 1):
+        ours = np.asarray(
+            runs['tc'].compute_global_heat_map(head_idx=h).heat_maps)
+        theirs = _reference_aggregate(runs['store'], runs['x'],
+                                      runs['n_tokens'], head_idx=h)
+        _assert_close(ours, theirs)
+
+
+def test_e2e_layer_filter_fidelity(runs):
+    """``compute_global_heat_map(layer_idx=…)`` for the down-block layer
+    matches the torch aggregation over only that layer.  The locator orders
+    up → down → mid (reference ``daam/hook.py:110-114``), so tiny's down
+    layer is the last located id; on the torch side it is the module under
+    ``down_blocks``."""
+    tc = runs['tc']
+    down_ids = [info.layer_idx for info in tc._located
+                if info.name.startswith('down')]
+    assert len(down_ids) == 1
+    ours = np.asarray(
+        tc.compute_global_heat_map(layer_idx=down_ids[0]).heat_maps)
+    theirs = _reference_aggregate(
+        runs['store'], runs['x'], runs['n_tokens'],
+        layer_pred=lambda name: name.startswith('down_blocks'))
+    _assert_close(ours, theirs)
+
+
+def test_e2e_normalize_fidelity(runs):
+    """``normalize=True`` divides by the real-token sum after truncation
+    (reference ``daam/trace.py:129-130``)."""
+    ours = np.asarray(
+        runs['tc'].compute_global_heat_map(normalize=True).heat_maps)
+    glob = _reference_aggregate(runs['store'], runs['x'], runs['n_tokens'])
+    theirs = glob / (glob[1:-1].sum(0, keepdims=True) + 1e-6)
+    _assert_close(ours, theirs)
+
+
+def test_e2e_factors_filter_is_identity_for_tiny(runs):
+    """tiny has one spatial factor, so an explicit factors list equals the
+    default 'all captured factors' result."""
+    tc = runs['tc']
+    factor = sorted(tc.batch_heat_maps)[0]
+    a = np.asarray(tc.compute_global_heat_map().heat_maps)
+    b = np.asarray(tc.compute_global_heat_map(factors=[factor]).heat_maps)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_e2e_capture_step_count(shared):
     """The torch loop captures steps × located-layers calls (sanity that the
-    capture in test 1 actually saw the whole schedule)."""
+    capture actually saw the whole schedule)."""
     pipe, tmodel = shared
     store = []
     _install_capture(tmodel, store)
