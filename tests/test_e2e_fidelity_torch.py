@@ -52,8 +52,14 @@ def _spearman(a, b):
 def _assert_close(ours, theirs):
     assert ours.shape == theirs.shape
     # BASELINE.json:5 gate: per-token Spearman >= 0.99 (both real tokens and
-    # the SOS/pad rows the reference keeps)
+    # the SOS/pad rows the reference keeps).  Ranks are meaningless on a flat
+    # map (e.g. a bf16-replayed uniform SOS row where the only variation is
+    # quantization noise), so the rank gate applies only to maps with real
+    # structure; flat maps are held to the allclose gate below.
     for tok in range(ours.shape[0]):
+        spread = ours[tok].max() - ours[tok].min()
+        if spread < 1e-4 * max(abs(ours[tok]).max(), 1e-9):
+            continue
         rho = _spearman(ours[tok], theirs[tok])
         assert rho >= 0.99, f'token {tok}: Spearman {rho:.4f}'
     np.testing.assert_allclose(ours, theirs, rtol=0.05, atol=0.02)
@@ -102,7 +108,7 @@ def _install_capture(tmodel, store):
         mod.forward = make_fwd()
 
 
-def _torch_denoise(pipe, tmodel, context_np, store):
+def _torch_denoise(pipe, tmodel, context_np, store, on_step=None):
     """The pipeline's sampling loop, re-run eagerly through the torch UNet
     using the *same* scheduler functions and initial latents."""
     sched = pipe.scheduler
@@ -120,6 +126,8 @@ def _torch_denoise(pipe, tmodel, context_np, store):
     context_t = torch.from_numpy(context_np)
 
     for i in range(sched.num_scan_steps(STEPS)):
+        if on_step is not None:
+            on_step(i)
         latent_in = np.concatenate([latents, latents], axis=0)
         latent_in = np.asarray(sched.scale_model_input(state, latent_in, i))
         t = np.full((2,), timesteps[i], dtype=np.float32)
@@ -259,6 +267,82 @@ def test_e2e_factors_filter_is_identity_for_tiny(runs):
     a = np.asarray(tc.compute_global_heat_map().heat_maps)
     b = np.asarray(tc.compute_global_heat_map(factors=[factor]).heat_maps)
     np.testing.assert_array_equal(a, b)
+
+
+# our locator's layer names (up -> down -> mid, reference daam/hook.py:110-114)
+# mapped to the torch module paths of the same attention layers
+_TINY_NAME_MAP = {
+    'up_0_0': 'up_blocks.1.attentions.0.transformer_blocks.0.attn2',
+    'up_0_1': 'up_blocks.1.attentions.1.transformer_blocks.0.attn2',
+    'down_0_0': 'down_blocks.0.attentions.0.transformer_blocks.0.attn2',
+    'mid_0': 'mid_block.attentions.0.transformer_blocks.0.attn2',
+}
+
+
+def test_e2e_head_replay_transplant(shared):
+    """The save_heads → load_heads attention transplant (the demo's
+    counterfactual, reference ``daam/trace.py:279-282``) replayed through the
+    torch loop: both implementations must generate the same image from the
+    *new* prompt under the *old* prompt's attention."""
+    pipe, tmodel = shared
+    new_prompt = 'a cat sits'
+    data_dir = 'e2e-replay-test'
+
+    with trace(pipe, save_heads=True, data_dir=data_dir) as tc:
+        pipe(PROMPT, num_inference_steps=STEPS,
+             generator=jax.random.PRNGKey(SEED), guidance_scale=GUIDANCE)
+        buf = {n: np.asarray(a, dtype=np.float32)
+               for n, a in tc.replay_buffer(STEPS).items()}
+
+    with trace(pipe, load_heads=True, data_dir=data_dir) as tc2:
+        out = pipe(new_prompt, num_inference_steps=STEPS,
+                   generator=jax.random.PRNGKey(SEED),
+                   guidance_scale=GUIDANCE)
+        ours_img = np.asarray(out.images[0])
+        ours_maps = np.asarray(tc2.compute_global_heat_map().heat_maps)
+
+    assert set(buf) == set(_TINY_NAME_MAP)
+    torch_mods = dict(tmodel.named_modules())
+    step_holder = {'i': 0}
+    store = []
+    for ours_name, torch_name in _TINY_NAME_MAP.items():
+        mod = torch_mods[torch_name]
+
+        def make_fwd(mod=mod, ours_name=ours_name):
+            def fwd(x, ctx=None):
+                c = x if ctx is None else ctx
+                B, L, C = x.shape
+                hd = C // mod.heads
+                v = mod.to_v(c).reshape(B, -1, mod.heads, hd).permute(0, 2, 1, 3)
+                p = torch.from_numpy(buf[ours_name][step_holder['i']])
+                store.append((ours_name, p))
+                o = (p @ v).permute(0, 2, 1, 3).reshape(B, L, C)
+                return mod.to_out[0](o)
+            return fwd
+
+        mod.forward = make_fwd()
+
+    ids = pipe._encode_tokens([new_prompt])
+    neg = pipe._encode_tokens([''])
+    cond, _ = pipe._text_forward(pipe.params, jnp.asarray(ids))
+    uncond, _ = pipe._text_forward(pipe.params, jnp.asarray(neg))
+    ctx = np.concatenate([np.asarray(uncond), np.asarray(cond)], axis=0)
+
+    final_latents = _torch_denoise(pipe, tmodel, ctx, store=[],
+                                   on_step=lambda i: step_holder.update(i=i))
+    images = pipe._jit_cache[('decode', 1, pipe.config.image_size,
+                              pipe.config.image_size)](
+        pipe.params, jnp.asarray(final_latents))
+    torch_img = np.clip(np.asarray(images[0]) * 255 + 0.5, 0,
+                        255).astype(np.uint8)
+    assert np.abs(torch_img.astype(int) - ours_img.astype(int)).max() <= 2
+
+    # heat maps under replay aggregate the replayed probabilities (incl. the
+    # mid block, which save/load_heads adds to the located set)
+    n_tokens = len(pipe.tokenizer.tokenize(new_prompt))
+    x = int(round(np.sqrt(tc2.latent_hw)))
+    theirs = _reference_aggregate(store, x, n_tokens)
+    _assert_close(ours_maps, theirs)
 
 
 def test_e2e_capture_step_count(shared):
