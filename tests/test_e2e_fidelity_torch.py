@@ -108,7 +108,8 @@ def _install_capture(tmodel, store):
         mod.forward = make_fwd()
 
 
-def _torch_denoise(pipe, tmodel, context_np, store, on_step=None):
+def _torch_denoise(pipe, tmodel, context_np, store, on_step=None,
+                   added_np=None, guidance=GUIDANCE):
     """The pipeline's sampling loop, re-run eagerly through the torch UNet
     using the *same* scheduler functions and initial latents."""
     sched = pipe.scheduler
@@ -124,6 +125,10 @@ def _torch_denoise(pipe, tmodel, context_np, store, on_step=None):
                          sched.init_state(STEPS, latent_shape, jnp.float32))
     timesteps = np.asarray(state['timesteps'])
     context_t = torch.from_numpy(context_np)
+    added_t = None
+    if added_np is not None:
+        added_t = {k: torch.from_numpy(np.asarray(v, dtype=np.float32))
+                   for k, v in added_np.items()}
 
     for i in range(sched.num_scan_steps(STEPS)):
         if on_step is not None:
@@ -132,11 +137,13 @@ def _torch_denoise(pipe, tmodel, context_np, store, on_step=None):
         latent_in = np.asarray(sched.scale_model_input(state, latent_in, i))
         t = np.full((2,), timesteps[i], dtype=np.float32)
         with torch.no_grad():
-            eps = tmodel(torch.from_numpy(latent_in.transpose(0, 3, 1, 2)),
-                         torch.from_numpy(t), context_t)
+            args = (torch.from_numpy(latent_in.transpose(0, 3, 1, 2)),
+                    torch.from_numpy(t), context_t)
+            eps = tmodel(*args) if added_t is None else tmodel(*args,
+                                                               added=added_t)
         eps = eps.numpy().transpose(0, 2, 3, 1)
         eps_u, eps_c = eps[:1], eps[1:]
-        eps = eps_u + GUIDANCE * (eps_c - eps_u)
+        eps = eps_u + guidance * (eps_c - eps_u)
         latents_j, state = sched.step(state, i, jnp.asarray(eps),
                                       jnp.asarray(latents))
         latents = np.asarray(latents_j)
@@ -343,6 +350,56 @@ def test_e2e_head_replay_transplant(shared):
     x = int(round(np.sqrt(tc2.latent_hw)))
     theirs = _reference_aggregate(store, x, n_tokens)
     _assert_close(ours_maps, theirs)
+
+
+def test_e2e_sdxl_heat_map_fidelity():
+    """SDXL path end to end: dual-encoder context + text_time added
+    conditioning through capture and aggregation, vs the torch loop with the
+    same fabricated weights (reference SDXL support ``daam/trace.py:55-56``)."""
+    from daam_tpu.pipeline.sdxl import StableDiffusionXLPipeline
+
+    pipe = StableDiffusionXLPipeline.from_pretrained('tiny-xl')
+    cfg = pipe.config.unet
+    sd = _fabricate_unet_checkpoint(cfg)
+    pipe.params['unet'] = _convert_unet(sd, cfg)
+
+    tmodel = _TTinyUNet(cfg)
+    tmodel.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
+                           strict=True)
+    tmodel.eval()
+
+    guidance = 5.0
+    with trace(pipe) as tc:
+        out = pipe(PROMPT, num_inference_steps=STEPS,
+                   generator=jax.random.PRNGKey(SEED),
+                   guidance_scale=guidance)
+        ours = np.asarray(tc.compute_global_heat_map().heat_maps)
+        ours_img = np.asarray(out.images[0])
+
+    size = pipe.config.image_size
+    ids = pipe._encode_tokens([PROMPT])
+    neg = pipe._encode_tokens([''])
+    cond, pooled_c = pipe._text_forward(pipe.params, jnp.asarray(ids))
+    uncond, pooled_u = pipe._text_forward(pipe.params, jnp.asarray(neg))
+    context_np = np.concatenate([np.asarray(uncond), np.asarray(cond)], axis=0)
+    added = pipe._merge_added(pooled_u, pooled_c, size, size)
+    added_np = {k: np.asarray(v) for k, v in added.items()}
+
+    store = []
+    _install_capture(tmodel, store)
+    final_latents = _torch_denoise(pipe, tmodel, context_np, store,
+                                   added_np=added_np, guidance=guidance)
+
+    images = pipe._jit_cache[('decode', 1, size, size)](
+        pipe.params, jnp.asarray(final_latents))
+    torch_img = np.clip(np.asarray(images[0]) * 255 + 0.5, 0,
+                        255).astype(np.uint8)
+    assert np.abs(torch_img.astype(int) - ours_img.astype(int)).max() <= 2
+
+    n_tokens = len(pipe.tokenizer.tokenize(PROMPT))
+    x = int(round(np.sqrt(tc.latent_hw)))
+    theirs = _reference_aggregate(store, x, n_tokens)
+    _assert_close(ours, theirs)
 
 
 def test_e2e_capture_step_count(shared):

@@ -95,6 +95,12 @@ def _fabricate_unet_checkpoint(config):
     add('time_embedding.linear_1.bias', ted)
     add('time_embedding.linear_2.weight', ted, ted)
     add('time_embedding.linear_2.bias', ted)
+    if cfg.addition_embed_type == 'text_time':
+        add('add_embedding.linear_1.weight', ted,
+            cfg.projection_class_embeddings_input_dim)
+        add('add_embedding.linear_1.bias', ted)
+        add('add_embedding.linear_2.weight', ted, ted)
+        add('add_embedding.linear_2.bias', ted)
 
     def resnet(prefix, cin, cout):
         add(prefix + 'norm1.weight', cin); add(prefix + 'norm1.bias', cin)
@@ -346,6 +352,11 @@ class _TTinyUNet(tnn.Module):
         self.time_embedding = tnn.Module()
         self.time_embedding.linear_1 = tnn.Linear(ch[0], ted)
         self.time_embedding.linear_2 = tnn.Linear(ted, ted)
+        if cfg.addition_embed_type == 'text_time':
+            self.add_embedding = tnn.Module()
+            self.add_embedding.linear_1 = tnn.Linear(
+                cfg.projection_class_embeddings_input_dim, ted)
+            self.add_embedding.linear_2 = tnn.Linear(ted, ted)
 
         n = len(ch)
         self.down_blocks = tnn.ModuleList()
@@ -409,12 +420,22 @@ class _TTinyUNet(tnn.Module):
         self.conv_norm_out = tnn.GroupNorm(g, ch[0], eps=1e-5)
         self.conv_out = tnn.Conv2d(ch[0], cfg.out_channels, 3, padding=1)
 
-    def forward(self, sample, timesteps, ctx):
+    def forward(self, sample, timesteps, ctx, added=None):
         cfg = self.cfg
         temb = _t_timestep_embedding(timesteps, cfg.block_out_channels[0],
                                      cfg.flip_sin_to_cos, cfg.freq_shift)
         temb = self.time_embedding.linear_2(
             F.silu(self.time_embedding.linear_1(temb)))
+        if cfg.addition_embed_type == 'text_time':
+            # diffusers SDXL text_time conditioning: pooled text embedding
+            # concat with sinusoidal embeddings of the six micro-cond time ids
+            tid = _t_timestep_embedding(added['time_ids'].reshape(-1),
+                                        cfg.addition_time_embed_dim,
+                                        cfg.flip_sin_to_cos, cfg.freq_shift)
+            tid = tid.reshape(sample.shape[0], -1)
+            add_emb = torch.cat([added['text_embeds'], tid], dim=-1)
+            temb = temb + self.add_embedding.linear_2(
+                F.silu(self.add_embedding.linear_1(add_emb)))
 
         h = self.conv_in(sample)
         skips = [h]
@@ -478,6 +499,48 @@ def test_unet_conversion_numerical_parity(preset):
     unet = UNet2DConditionModel(cfg)
     ours, _ = unet.apply({'params': params}, jnp.asarray(sample),
                          jnp.asarray(t), jnp.asarray(ctx))
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=5e-4, atol=5e-4)
+
+
+def test_unet_conversion_numerical_parity_sdxl():
+    """SDXL geometry: text_time added conditioning (add_embedding), plain
+    level-0 blocks, depth-2 transformers — converted Flax forward == torch
+    (reference SDXL support: ``daam/run/generate.py:29,197-203``)."""
+    from daam_tpu.models.configs import get_pipeline_config
+    from daam_tpu.models.unet import UNet2DConditionModel
+    from daam_tpu.models.weights import _convert_unet
+
+    cfg = get_pipeline_config('tiny-xl').unet
+    sd = _fabricate_unet_checkpoint(cfg)
+
+    tmodel = _TTinyUNet(cfg)
+    tmodel.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
+                           strict=True)
+    tmodel.eval()
+
+    rng = np.random.RandomState(11)
+    sample = rng.randn(2, 8, 8, cfg.in_channels).astype(np.float32)
+    ctx = rng.randn(2, 77, cfg.cross_attention_dim).astype(np.float32)
+    t = np.array([700, 30], dtype=np.int32)
+    pooled_dim = cfg.projection_class_embeddings_input_dim - \
+        6 * cfg.addition_time_embed_dim
+    text_embeds = rng.randn(2, pooled_dim).astype(np.float32)
+    time_ids = np.tile(np.array([16, 16, 0, 0, 16, 16], np.float32), (2, 1))
+
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(sample.transpose(0, 3, 1, 2)),
+                        torch.from_numpy(t.astype(np.float32)),
+                        torch.from_numpy(ctx),
+                        added={'text_embeds': torch.from_numpy(text_embeds),
+                               'time_ids': torch.from_numpy(time_ids)})
+    theirs = theirs.numpy().transpose(0, 2, 3, 1)
+
+    params = _convert_unet(sd, cfg)
+    unet = UNet2DConditionModel(cfg)
+    ours, _ = unet.apply({'params': params}, jnp.asarray(sample),
+                         jnp.asarray(t), jnp.asarray(ctx),
+                         added_cond={'text_embeds': jnp.asarray(text_embeds),
+                                     'time_ids': jnp.asarray(time_ids)})
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=5e-4, atol=5e-4)
 
 
