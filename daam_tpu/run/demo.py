@@ -16,12 +16,13 @@ A ``threading.Lock`` serializes generations like the reference (``demo.py:69``).
 """
 
 from pathlib import Path
-from threading import Lock
+from threading import Event, Lock, Thread
 import argparse
 import base64
 import html as html_mod
 import io
 import json
+import queue
 import time
 import urllib.parse
 
@@ -184,11 +185,93 @@ Random seed: <input name="random_seed" type="checkbox" {random_checked}/></p>
 </body></html>"""
 
 
-def make_app(pipe, default_seed: int):
-    """Build the request handler class bound to a pipeline."""
+class BatchQueue:
+    """Microbatching for concurrent demo requests.
+
+    The reference serializes generations behind one lock (``daam/run/demo.py:69``)
+    — correct, but on a TPU the chip is underutilized at batch 1 (measured:
+    SD2.1 0.936 → 1.141 imgs/s/chip at batch 4, BASELINE.md).  Plain (non
+    counterfactual) requests that arrive within ``window_s`` of each other
+    coalesce into ONE traced pipeline call:
+
+    * prompts pad to the fixed ``batch_size`` (repeat-last) so a single
+      compiled program serves every load level — no shape polymorphism;
+    * per-request seeds stay reproducible via stacked per-sample PRNG keys
+      (the same mechanism as the CLI's batched corpus runs);
+    * per-request heat maps come from ``compute_global_heat_map(batch_idx=i)``.
+    """
+
+    def __init__(self, pipe, batch_size: int, lock, window_s: float = 0.05):
+        self.pipe = pipe
+        self.batch_size = batch_size
+        self.lock = lock
+        self.window_s = window_s
+        self._q = queue.Queue()
+        self._thread = Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, prompt: str, steps: int, seed: int):
+        """Block until the request's generation completes; returns
+        ``(image, GlobalHeatMap)``."""
+        item = {'prompt': prompt, 'steps': steps, 'seed': seed, 'ev': Event()}
+        self._q.put(item)
+        item['ev'].wait()
+        if 'error' in item:
+            raise item['error']
+        return item['image'], item['heat_map']
+
+    def _loop(self):
+        while True:
+            batch = [self._q.get()]
+            deadline = time.time() + self.window_s
+            while len(batch) < self.batch_size:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            by_steps = {}
+            for item in batch:  # one compiled signature per step count
+                by_steps.setdefault(item['steps'], []).append(item)
+            for steps, items in by_steps.items():
+                self._run(steps, items)
+
+    def _run(self, steps, items):
+        import jax
+        import jax.numpy as jnp
+
+        prompts = [it['prompt'] for it in items]
+        seeds = [it['seed'] for it in items]
+        while len(prompts) < self.batch_size:  # pad to the compiled batch
+            prompts.append(prompts[-1])
+            seeds.append(seeds[-1])
+        keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+        try:
+            with self.lock, trace(self.pipe) as tc:
+                out = self.pipe(prompts, num_inference_steps=steps,
+                                generator=keys)
+                for i, it in enumerate(items):
+                    it['image'] = out.images[i]
+                    it['heat_map'] = tc.compute_global_heat_map(batch_idx=i)
+        except Exception as e:  # deliver the failure to every waiter
+            for it in items:
+                it['error'] = e
+        finally:
+            for it in items:
+                it['ev'].set()
+
+
+def make_app(pipe, default_seed: int, batch_size: int = 1):
+    """Build the request handler class bound to a pipeline.  ``batch_size > 1``
+    turns on request microbatching for plain generations (see
+    :class:`BatchQueue`); counterfactual (transplant) requests always run
+    serialized like the reference."""
     import http.server
 
     lock = Lock()
+    batcher = BatchQueue(pipe, batch_size, lock) if batch_size > 1 else None
 
     def render(prompt='An angry, bald man doing research', new_adj='',
                steps=10, random_seed=False, results=''):
@@ -214,23 +297,27 @@ def make_app(pipe, default_seed: int):
             new_prompt = ' '.join(new_adj if tok.text == choice else tok.text
                                   for tok in cached_nlp(prompt))
 
-        with lock:
-            seed = int(time.time()) if random_seed else default_seed
-            gen = set_seed(seed)
-            counterfactual = choice and new_prompt != prompt
+        seed = int(time.time()) if random_seed else default_seed
+        counterfactual = choice and new_prompt != prompt
 
-            with trace(pipe, save_heads=bool(counterfactual)) as tc:
-                out = pipe(prompt, num_inference_steps=steps, generator=gen)
-                heat_map = tc.compute_global_heat_map()
-                image = out.images[0]
-
-            image2 = None
-            if counterfactual:
+        image2 = None
+        if batcher is not None and not counterfactual:
+            # plain request: coalesce with concurrent ones into one traced call
+            image, heat_map = batcher.submit(prompt, steps, seed)
+        else:
+            with lock:
                 gen = set_seed(seed)
-                with trace(pipe, load_heads=True):
-                    out2 = pipe(new_prompt, num_inference_steps=steps,
-                                generator=gen)
-                    image2 = out2.images[0]
+                with trace(pipe, save_heads=bool(counterfactual)) as tc:
+                    out = pipe(prompt, num_inference_steps=steps, generator=gen)
+                    heat_map = tc.compute_global_heat_map()
+                    image = out.images[0]
+
+                if counterfactual:
+                    gen = set_seed(seed)
+                    with trace(pipe, load_heads=True):
+                        out2 = pipe(new_prompt, num_inference_steps=steps,
+                                    generator=gen)
+                        image2 = out2.images[0]
 
         esc = html_mod.escape
         html = ['<h3>Images</h3><div class="grid">']
@@ -279,6 +366,7 @@ def make_app(pipe, default_seed: int):
                               random_seed=random_seed, results=results))
 
     Handler.generate = staticmethod(generate)  # exposed for tests
+    Handler.batcher = batcher
     return Handler
 
 
@@ -294,6 +382,9 @@ def get_args(argv=None):
     parser.add_argument('--scheduler', type=str, default='ddim')
     parser.add_argument('--gradio', action='store_true',
                         help='serve via Gradio if installed')
+    parser.add_argument('--batch-size', type=int, default=1,
+                        help='microbatch concurrent requests into one traced '
+                             'call of this (fixed, padded) batch size')
     return parser.parse_args(argv)
 
 
@@ -313,7 +404,7 @@ def main(argv=None):
         except ImportError:
             print('gradio not installed; falling back to builtin server')
 
-    handler = make_app(pipe, args.seed)
+    handler = make_app(pipe, args.seed, batch_size=args.batch_size)
     while True:
         try:
             server = http.server.ThreadingHTTPServer(('0.0.0.0', args.port),
@@ -328,7 +419,7 @@ def main(argv=None):
 
 def _gradio_main(pipe, args):  # pragma: no cover - optional dependency
     import gradio as gr
-    handler = make_app(pipe, args.seed)
+    handler = make_app(pipe, args.seed, batch_size=args.batch_size)
 
     def run(prompt, choice, new_adj, steps, random_seed):
         _, html = handler.generate(prompt, choice, new_adj, int(steps),
