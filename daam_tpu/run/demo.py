@@ -385,6 +385,9 @@ def get_args(argv=None):
     parser.add_argument('--batch-size', type=int, default=1,
                         help='microbatch concurrent requests into one traced '
                              'call of this (fixed, padded) batch size')
+    parser.add_argument('--dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='model compute dtype (bfloat16 for TPU serving)')
     return parser.parse_args(argv)
 
 
@@ -394,9 +397,13 @@ def main(argv=None):
     args = get_args(argv)
     from ..pipeline.sd import StableDiffusionPipeline
 
+    import jax.numpy as jnp
+
     source = 'tiny' if args.tiny else (args.from_path or MODEL_ID_MAP[args.model])
+    dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
     pipe = StableDiffusionPipeline.from_pretrained(source,
-                                                   scheduler=args.scheduler)
+                                                   scheduler=args.scheduler,
+                                                   dtype=dtype)
 
     if args.gradio:
         try:
