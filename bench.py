@@ -19,7 +19,10 @@ import sys
 import time
 
 # Persistent compilation cache: the first bench invocation pays the (remote)
-# compile; later invocations and driver re-runs start hot.
+# compile; later invocations and driver re-runs start hot.  The env var alone
+# is NOT enough when a site hook imports jax before this script runs (the var
+# is read at jax import time), so utils.enable_persistent_compilation_cache
+# also sets the live config value.
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       os.path.expanduser('~/.cache/daam_tpu_jax_cache'))
 
@@ -80,7 +83,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from daam_tpu.pipeline.sd import StableDiffusionPipeline
-    from daam_tpu.utils import set_seed
+    from daam_tpu.utils import enable_persistent_compilation_cache, set_seed
+    enable_persistent_compilation_cache()
 
     dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
     pipe = StableDiffusionPipeline.from_pretrained(

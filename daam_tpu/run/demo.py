@@ -394,6 +394,9 @@ def get_args(argv=None):
 def main(argv=None):
     import http.server
 
+    from ..utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     args = get_args(argv)
     from ..pipeline.sd import StableDiffusionPipeline
 

@@ -151,6 +151,9 @@ def run_evaluation(cfg: EvalConfig):
 
 
 def main(argv: Optional[list] = None):
+    from ..utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     args = build_parser().parse_args(argv)
     cfg = EvalConfig(input_folder=args.input_folder,
                      pred_prefix=args.pred_prefix,

@@ -235,6 +235,9 @@ def load_pipeline(args):
 
 
 def main(argv=None):
+    from ..utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     args = build_parser().parse_args(argv)
     args.lemma = (cached_nlp(args.word)[0].lemma_ if args.word else None)
 

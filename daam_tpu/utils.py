@@ -67,6 +67,29 @@ def set_seed(seed: int):
     return jax.random.PRNGKey(seed)
 
 
+def enable_persistent_compilation_cache() -> None:
+    """Point JAX at a persistent on-disk compilation cache (idempotent).
+
+    TPU compiles for a full sampling scan take minutes (and go through a
+    remote-compile service on relay-attached chips); without this every CLI
+    process recompiles from scratch.  Uses the same path as ``bench.py`` so
+    the CLI, the demo server, and the benchmark harness share warm programs.
+    No reference analog (eager PyTorch does not compile).
+
+    Note: the ``JAX_COMPILATION_CACHE_DIR`` env var is only read when the
+    ``jax`` module is first imported — too late if something (a site hook, a
+    plugin) imported jax before us — so this sets the live config value too.
+    """
+    path = os.environ.setdefault(
+        'JAX_COMPILATION_CACHE_DIR',
+        os.path.expanduser('~/.cache/daam_tpu_jax_cache'))
+    try:
+        import jax
+        jax.config.update('jax_compilation_cache_dir', path)
+    except Exception:
+        pass  # pre-initialization or exotic backends: env var still applies
+
+
 def cache_dir() -> Path:
     """Per-OS cache directory (same layout as reference ``daam/utils.py:58-70``)."""
     if os.name == 'posix' and sys.platform != 'darwin':
