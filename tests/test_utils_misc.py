@@ -27,6 +27,17 @@ def test_cache_dir_is_path():
     assert d.name == 'daam_tpu'
 
 
+def test_enable_persistent_compilation_cache_sets_live_config():
+    """Must set the live jax config (the env var alone is read only at jax
+    import, which happens before entry points run under site hooks)."""
+    import jax
+    from daam_tpu.utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+    import os
+    assert jax.config.jax_compilation_cache_dir == \
+        os.environ['JAX_COMPILATION_CACHE_DIR']
+
+
 def test_plot_mask_heat_map_runs():
     import matplotlib
     matplotlib.use('Agg')
