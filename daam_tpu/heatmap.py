@@ -41,14 +41,14 @@ def _jet_composite(image_u8: np.ndarray, heat: np.ndarray,
     layers reduces to exactly ``photo·(1−heat) + jet·heat`` — but computed
     directly in numpy so one RGB array goes to the renderer.
     """
-    from matplotlib import cm
+    import matplotlib
 
     if color_normalize:
         lo, hi = float(heat.min()), float(heat.max())
         levels = (heat - lo) / (hi - lo) if hi > lo else np.zeros_like(heat)
     else:
         levels = np.clip(heat, 0.0, 1.0)
-    jet_rgb = cm.get_cmap('jet')(levels)[..., :3]
+    jet_rgb = matplotlib.colormaps['jet'](levels)[..., :3]
     photo = np.asarray(image_u8, dtype=np.float32) / 255.0
     w = np.clip(heat, 0.0, 1.0)[..., None]
     return np.clip(photo * (1.0 - w) + jet_rgb * w, 0.0, 1.0)

@@ -210,12 +210,17 @@ class BatchQueue:
         self._thread = Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    #: Backstop so a waiter can never hang forever even if the worker thread
+    #: dies in a way the per-item guards miss (ADVICE r2).
+    SUBMIT_TIMEOUT_S = 1800.0
+
     def submit(self, prompt: str, steps: int, seed: int):
         """Block until the request's generation completes; returns
         ``(image, GlobalHeatMap)``."""
         item = {'prompt': prompt, 'steps': steps, 'seed': seed, 'ev': Event()}
         self._q.put(item)
-        item['ev'].wait()
+        if not item['ev'].wait(timeout=self.SUBMIT_TIMEOUT_S):
+            raise TimeoutError('daam-demo batch worker did not respond')
         if 'error' in item:
             raise item['error']
         return item['image'], item['heat_map']
@@ -223,32 +228,44 @@ class BatchQueue:
     def _loop(self):
         while True:
             batch = [self._q.get()]
-            deadline = time.time() + self.window_s
+            # monotonic: wall-clock (time.time) can step under NTP and
+            # stretch/collapse the coalescing window (ADVICE r2)
+            deadline = time.monotonic() + self.window_s
             while len(batch) < self.batch_size:
-                timeout = deadline - time.time()
+                timeout = deadline - time.monotonic()
                 if timeout <= 0:
                     break
                 try:
                     batch.append(self._q.get(timeout=timeout))
                 except queue.Empty:
                     break
-            by_steps = {}
-            for item in batch:  # one compiled signature per step count
-                by_steps.setdefault(item['steps'], []).append(item)
-            for steps, items in by_steps.items():
-                self._run(steps, items)
+            try:
+                by_steps = {}
+                for item in batch:  # one compiled signature per step count
+                    by_steps.setdefault(item['steps'], []).append(item)
+                for steps, items in by_steps.items():
+                    self._run(steps, items)
+            except BaseException as e:  # noqa: BLE001 - keep the worker alive
+                # _run already guards its own body; this catches anything
+                # outside it so the sole daemon worker never dies with
+                # waiters left blocking (ADVICE r2).
+                for item in batch:
+                    if not item['ev'].is_set():
+                        item.setdefault('error', e if isinstance(e, Exception)
+                                        else RuntimeError(repr(e)))
+                        item['ev'].set()
 
     def _run(self, steps, items):
         import jax
         import jax.numpy as jnp
 
-        prompts = [it['prompt'] for it in items]
-        seeds = [it['seed'] for it in items]
-        while len(prompts) < self.batch_size:  # pad to the compiled batch
-            prompts.append(prompts[-1])
-            seeds.append(seeds[-1])
-        keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
         try:
+            prompts = [it['prompt'] for it in items]
+            seeds = [it['seed'] for it in items]
+            while len(prompts) < self.batch_size:  # pad to the compiled batch
+                prompts.append(prompts[-1])
+                seeds.append(seeds[-1])
+            keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
             with self.lock, trace(self.pipe) as tc:
                 out = self.pipe(prompts, num_inference_steps=steps,
                                 generator=keys)

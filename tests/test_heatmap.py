@@ -120,7 +120,7 @@ def test_jet_composite_matches_stacked_alpha_compositing():
     layers (jet heat map below, photo with per-pixel alpha 1-heat on top,
     daam/heatmap.py:20-53): over-compositing those reduces to
     photo*(1-heat) + jet(levels)*heat."""
-    from matplotlib import cm
+    import matplotlib
 
     from daam_tpu.heatmap import _jet_composite
 
@@ -133,7 +133,7 @@ def test_jet_composite_matches_stacked_alpha_compositing():
             levels = (heat - heat.min()) / (heat.max() - heat.min())
         else:
             levels = np.clip(heat, 0, 1)
-        jet = cm.get_cmap('jet')(levels)[..., :3]
+        jet = matplotlib.colormaps['jet'](levels)[..., :3]
         alpha = np.clip(1 - np.clip(heat, 0, 1), 0, 1)[..., None]
         photo = photo_u8.astype(np.float32) / 255
         expected = photo * alpha + jet * (1 - alpha)   # "over" compositing
