@@ -22,7 +22,9 @@ __all__ = ['CLIPTextEncoder']
 def _activation(name: str):
     if name == 'quick_gelu':
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
-    return jax.nn.gelu
+    # HF 'gelu' (OpenCLIP H/bigG encoders) is the exact erf form;
+    # jax.nn.gelu defaults to the tanh approximation, which drifts ~1e-3.
+    return lambda x: jax.nn.gelu(x, approximate=False)
 
 
 class CLIPAttention(nn.Module):

@@ -153,27 +153,82 @@ bool parse_merges(const std::string& path, Bpe& b) {
 
 // ---- tokenization ---------------------------------------------------------
 
-bool is_letter(unsigned char c) { return isalpha(c) || c >= 0x80; }
+// Codepoint classification tables generated from the Python WORD_PATTERN
+// regex semantics (scripts/gen_unicode_ranges.py) so the two tokenizers
+// cannot drift: letter = [^\W\d_], digit = \d.
+#include "unicode_ranges.inc"
 
-// CLIP word regex, hand-rolled: contractions | letter runs | digit |
-// punctuation runs (whitespace splits).  Input is already lowercased ASCII-ish;
-// multi-byte UTF-8 treated as letters.
+bool in_ranges(uint32_t cp, const uint32_t ranges[][2], size_t n) {
+    size_t lo = 0, hi = n;
+    while (lo < hi) {
+        size_t mid = (lo + hi) / 2;
+        if (cp < ranges[mid][0]) hi = mid;
+        else if (cp > ranges[mid][1]) lo = mid + 1;
+        else return true;
+    }
+    return false;
+}
+
+bool cp_is_letter(uint32_t cp) {
+    return in_ranges(cp, kLetterRanges, kLetterRanges_len);
+}
+bool cp_is_digit(uint32_t cp) {
+    return in_ranges(cp, kDigitRanges, kDigitRanges_len);
+}
+
+// Decode one UTF-8 codepoint at text[i]; sets len (1 on malformed bytes,
+// which then classify as punctuation like Python's surrogate-free handling).
+uint32_t decode_utf8(const std::string& s, size_t i, size_t& len) {
+    unsigned char c = s[i];
+    if (c < 0x80) { len = 1; return c; }
+    uint32_t cp;
+    size_t extra;
+    if ((c & 0xE0) == 0xC0) { cp = c & 0x1F; extra = 1; }
+    else if ((c & 0xF0) == 0xE0) { cp = c & 0x0F; extra = 2; }
+    else if ((c & 0xF8) == 0xF0) { cp = c & 0x07; extra = 3; }
+    else { len = 1; return 0xFFFD; }
+    if (i + extra >= s.size()) { len = 1; return 0xFFFD; }
+    for (size_t k = 1; k <= extra; ++k) {
+        unsigned char cc = s[i + k];
+        if ((cc & 0xC0) != 0x80) { len = 1; return 0xFFFD; }
+        cp = (cp << 6) | (cc & 0x3F);
+    }
+    len = extra + 1;
+    return cp;
+}
+
+// CLIP word regex, hand-rolled over codepoints: special literals |
+// contractions | letter runs | single digit | punctuation runs (whitespace
+// splits).  Input arrives whitespace-cleaned + lowercased from the binding
+// (unicode-correct lowering lives in Python).
 std::vector<std::string> split_words(const std::string& text) {
     std::vector<std::string> out;
     size_t i = 0;
     const size_t n = text.size();
+    static const char* specials[] = {"<|startoftext|>", "<|endoftext|>"};
     static const char* contractions[] = {"'s", "'t", "'re", "'ve", "'m",
                                          "'ll", "'d"};
     while (i < n) {
         unsigned char c = text[i];
         if (isspace(c)) { ++i; continue; }
+        if (c == '<') {
+            bool matched = false;
+            for (const char* sp : specials) {
+                size_t len = strlen(sp);
+                if (text.compare(i, len, sp) == 0) {
+                    out.emplace_back(sp);
+                    i += len;
+                    matched = true;
+                    break;
+                }
+            }
+            if (matched) continue;
+        }
         if (c == '\'') {
             bool matched = false;
             for (const char* con : contractions) {
                 size_t len = strlen(con);
                 if (text.compare(i, len, con) == 0) {
-                    // contraction must not be followed by a letter run that
-                    // extends it ('ll vs 'l+letter handled by order above)
                     out.emplace_back(text.substr(i, len));
                     i += len;
                     matched = true;
@@ -182,20 +237,29 @@ std::vector<std::string> split_words(const std::string& text) {
             }
             if (matched) continue;
         }
-        if (is_letter(c)) {
+        size_t len;
+        uint32_t cp = decode_utf8(text, i, len);
+        if (cp_is_letter(cp)) {
             size_t j = i;
-            while (j < n && is_letter((unsigned char)text[j])) ++j;
+            while (j < n) {
+                size_t l2;
+                uint32_t c2 = decode_utf8(text, j, l2);
+                if (!cp_is_letter(c2)) break;
+                j += l2;
+            }
             out.emplace_back(text.substr(i, j - i));
             i = j;
-        } else if (isdigit(c)) {
-            out.emplace_back(1, text[i]);
-            ++i;
+        } else if (cp_is_digit(cp)) {
+            out.emplace_back(text.substr(i, len));   // \d matches ONE digit
+            i += len;
         } else {
             size_t j = i;
-            while (j < n && !isspace((unsigned char)text[j]) &&
-                   !is_letter((unsigned char)text[j]) &&
-                   !isdigit((unsigned char)text[j]))
-                ++j;
+            while (j < n && !isspace((unsigned char)text[j])) {
+                size_t l2;
+                uint32_t c2 = decode_utf8(text, j, l2);
+                if (cp_is_letter(c2) || cp_is_digit(c2)) break;
+                j += l2;
+            }
             out.emplace_back(text.substr(i, j - i));
             i = j;
         }
@@ -266,6 +330,10 @@ std::vector<std::string> tokenize(Bpe& b, std::string text) {
 
     std::vector<std::string> tokens;
     for (const auto& w : split_words(clean)) {
+        if (w == "<|startoftext|>" || w == "<|endoftext|>") {
+            tokens.push_back(w);   // special literals pass through unsplit
+            continue;
+        }
         auto pieces = bpe_word(b, w);
         tokens.insert(tokens.end(), pieces.begin(), pieces.end());
     }

@@ -14,7 +14,7 @@ import threading
 from pathlib import Path
 from typing import List, Optional
 
-from ..tokenization import _TokenizerBase
+from ..tokenization import _TokenizerBase, _whitespace_clean
 
 _HERE = Path(__file__).parent
 _LIB_PATH = _HERE / '_bpe.so'
@@ -99,10 +99,17 @@ class NativeBpeTokenizer(_TokenizerBase):
             path = path / 'tokenizer'
         return cls(path / 'vocab.json', path / 'merges.txt', pad_id=pad_id)
 
+    @staticmethod
+    def _pretext(text: str) -> bytes:
+        """Unicode-correct whitespace-clean + lowercase happens here (Python);
+        the C++ core only handles already-lowered text (ASCII ``tolower`` is
+        a no-op on it) — full-unicode case folding in C++ would need ICU."""
+        return _whitespace_clean(text).lower().encode('utf-8')
+
     def tokenize(self, text: str) -> List[str]:
         cap = max(4096, 8 * len(text) + 64)
         buf = ctypes.create_string_buffer(cap)
-        n = self._lib.daam_bpe_tokenize(self._handle, text.encode('utf-8'),
+        n = self._lib.daam_bpe_tokenize(self._handle, self._pretext(text),
                                         buf, cap)
         if n < 0:
             raise ValueError('tokenize buffer overflow')
@@ -121,7 +128,7 @@ class NativeBpeTokenizer(_TokenizerBase):
     def encode(self, text: str, add_special_tokens: bool = True,
                truncation: bool = True) -> List[int]:
         out = (ctypes.c_int * self.model_max_length)()
-        real = self._lib.daam_bpe_encode(self._handle, text.encode('utf-8'),
+        real = self._lib.daam_bpe_encode(self._handle, self._pretext(text),
                                          out, self.model_max_length,
                                          self.pad_id if self.pad_id is not None else -1)
         ids = list(out[:real])
@@ -141,7 +148,7 @@ class NativeBpeTokenizer(_TokenizerBase):
         for t in texts:
             out = (ctypes.c_int * max_length)()
             real = self._lib.daam_bpe_encode(
-                self._handle, t.encode('utf-8'), out, max_length,
+                self._handle, self._pretext(t), out, max_length,
                 self.pad_id if self.pad_id is not None else -1)
             all_ids.append(list(out[:max_length]))
             all_mask.append([1] * real + [0] * (max_length - real))

@@ -221,6 +221,11 @@ class ClipBpeTokenizer(_TokenizerBase):
         text = _whitespace_clean(text).lower()
         tokens: List[str] = []
         for chunk in WORD_PATTERN.findall(text):
+            if chunk in (SOT_TOKEN, EOT_TOKEN):
+                # special-token literals pass through unsplit (HF treats them
+                # as added tokens and never byte-encodes them)
+                tokens.append(chunk)
+                continue
             chunk = ''.join(self.byte_encoder[b] for b in chunk.encode('utf-8'))
             tokens.extend(self._bpe(chunk).split(' '))
         return tokens

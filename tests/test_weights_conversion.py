@@ -77,12 +77,16 @@ def test_clip_conversion_penultimate_matches_hidden_states(hf_clip):
 
 
 def _fabricate_unet_checkpoint(config):
-    """Random diffusers-format UNet state dict for our tiny config."""
-    rng = np.random.RandomState(0)
+    """Random diffusers-format UNet state dict for a config (tiny or real
+    geometry; fp32 generated directly — float64 intermediates triple the
+    memory traffic at SD2.1/SDXL scale)."""
+    rng = np.random.default_rng(0)
     sd = {}
 
     def add(name, *shape):
-        sd[name] = rng.randn(*shape).astype(np.float32) * 0.02
+        arr = rng.standard_normal(shape, dtype=np.float32)
+        arr *= 0.02
+        sd[name] = arr
 
     cfg = config
     ch = cfg.block_out_channels
