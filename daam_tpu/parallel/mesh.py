@@ -105,12 +105,15 @@ def generate_batch(pipe, prompts: Sequence[str], mesh=None,
                    **kwargs):
     """Data-parallel batched generation over a mesh.
 
-    The batch must divide the mesh's ``data`` axis size.  Works with an active
-    trace (per-sample heat maps land in ``tc.batch_heat_maps`` exactly like
-    single-device batched tracing — accumulators shard with the batch).
+    Batches that do not divide the mesh's ``data`` axis are padded to the next
+    multiple by repeating the last prompt (like the demo's ``BatchQueue``) and
+    the outputs sliced back — so an uneven corpus tail reuses the same
+    compiled program instead of crashing or forcing a second compile.  Works
+    with an active trace (per-sample heat maps land in ``tc.batch_heat_maps``
+    exactly like single-device batched tracing — accumulators shard with the
+    batch; ``batch_idx`` beyond the real batch addresses padding samples).
     """
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec
 
     if mesh is None:
         mesh = get_active_mesh()
@@ -118,12 +121,22 @@ def generate_batch(pipe, prompts: Sequence[str], mesh=None,
 
     dp = mesh.shape['data']
     B = len(prompts)
-    assert B % dp == 0, f'batch {B} must be divisible by data axis {dp}'
+    prompts = list(prompts)
+    pad = (-B) % dp
+    if pad:
+        # pad-to-batch: padded sizes are multiples of dp, so an uneven tail
+        # reuses the full-batch compiled program whenever B > dp
+        prompts = prompts + [prompts[-1]] * pad
 
     pipe.params = replicate_params(pipe.params, mesh)
     key = jax.random.PRNGKey(seed)
 
     with use_mesh(mesh):
-        return pipe(list(prompts), num_inference_steps=num_inference_steps,
-                    generator=key, guidance_scale=guidance_scale,
-                    negative_prompt=negative_prompt, **kwargs)
+        out = pipe(prompts, num_inference_steps=num_inference_steps,
+                   generator=key, guidance_scale=guidance_scale,
+                   negative_prompt=negative_prompt, **kwargs)
+    if pad:
+        out.images = out.images[:B]
+        if out.nsfw_content_detected is not None:
+            out.nsfw_content_detected = out.nsfw_content_detected[:B]
+    return out

@@ -62,7 +62,8 @@ class PipelineHooker(ObjectHooker):
 class DiffusionHeatMapHooker(AggregateHooker):
     def __init__(self, pipeline, low_memory: bool = False,
                  load_heads: bool = False, save_heads: bool = False,
-                 data_dir: Optional[Union[str, Path]] = None):
+                 data_dir: Optional[Union[str, Path]] = None,
+                 persist_heads: bool = True):
         self.all_heat_maps = RawHeatMapCollection()
         # Heat-map grid: 64² for 512/1024-px models, 96² for 768-px
         # (reference ``daam/trace.py:32-33``).
@@ -83,6 +84,7 @@ class DiffusionHeatMapHooker(AggregateHooker):
         self.low_memory = low_memory
         self.save_heads = save_heads
         self.load_heads = load_heads
+        self.persist_heads = persist_heads
         self.data_dir = str(data_dir) if data_dir is not None else 'default'
 
         self.pipe = pipeline
@@ -157,9 +159,43 @@ class DiffusionHeatMapHooker(AggregateHooker):
         if self.save_heads and saved is not None:
             _HEAD_CACHE[self.data_dir] = saved
 
+    def heads_path(self) -> Path:
+        """On-disk location of the auto-persisted replay buffer: one ``.npz``
+        per ``data_dir`` key under ``cache_dir()/heads/`` (the cross-process
+        analog of the reference's ``cache_dir()/heads/{gen_idx}.pt`` files,
+        ``daam/trace.py:207-217,246-250``)."""
+        import hashlib
+
+        key = self.data_dir
+        safe = ''.join(c if c.isalnum() or c in '-_.' else '_' for c in key)
+        if safe != key:
+            safe = f'{safe[:40]}-{hashlib.md5(key.encode()).hexdigest()[:8]}'
+        return Path(cache_dir()) / 'heads' / f'{safe}.npz'
+
+    def _persist_heads(self):
+        """Write the replay buffer to :meth:`heads_path` so a later process
+        (or a restarted demo server) can ``load_heads`` transparently."""
+        saved = _HEAD_CACHE.get(self.data_dir)
+        if saved is None:
+            return
+        path = self.heads_path()
+        path.parent.mkdir(parents=True, exist_ok=True)
+        self.dump_heads(path)
+
+    def _unhook_impl(self):
+        super()._unhook_impl()
+        if self.save_heads and self.persist_heads:
+            self._persist_heads()
+
     def replay_buffer(self, num_steps: int):
         """The saved raw attention for ``load_heads``
-        (analog of ``daam/trace.py:249-250,281-282``)."""
+        (analog of ``daam/trace.py:249-250,281-282``).  Falls back to the
+        auto-persisted ``cache_dir()/heads`` file when the in-process registry
+        is cold (e.g. after a process restart)."""
+        if self.data_dir not in _HEAD_CACHE:
+            path = self.heads_path()
+            if path.exists():
+                self.load_heads_from(path)
         if self.data_dir not in _HEAD_CACHE:
             raise RuntimeError(
                 f'No saved attention heads under data_dir={self.data_dir!r}; '

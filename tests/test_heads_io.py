@@ -29,6 +29,39 @@ def test_dump_and_load_heads_roundtrip(pipe, tmp_path):
                                atol=4.0)
 
 
+def test_kill_and_restart_transplant(pipe, tmp_path, monkeypatch):
+    """save_heads auto-persists to cache_dir()/heads on trace exit and
+    load_heads picks the file up transparently after a process restart
+    (reference durable-transplant workflow, ``daam/trace.py:246-250``).
+    The restart is simulated by clearing the in-process registry — the
+    replay buffer then round-trips entirely through the persisted file."""
+    import importlib
+    trace_mod = importlib.import_module('daam_tpu.trace')
+
+    monkeypatch.setenv('XDG_CACHE_HOME', str(tmp_path))
+    with trace(pipe, save_heads=True, data_dir='restart-test') as tc:
+        out1 = pipe('a dog runs', num_inference_steps=2, generator=set_seed(0))
+    persisted = tc.heads_path()
+    assert persisted.exists() and persisted.stat().st_size > 0
+
+    # "kill the process": wipe the in-process registry
+    monkeypatch.delitem(trace_mod._HEAD_CACHE, 'restart-test')
+
+    with trace(pipe, load_heads=True, data_dir='restart-test'):
+        out2 = pipe('a dog runs', num_inference_steps=2, generator=set_seed(0))
+    np.testing.assert_allclose(np.array(out1.images[0], dtype=np.float32),
+                               np.array(out2.images[0], dtype=np.float32),
+                               atol=4.0)
+
+
+def test_persist_heads_opt_out(pipe, tmp_path, monkeypatch):
+    monkeypatch.setenv('XDG_CACHE_HOME', str(tmp_path))
+    with trace(pipe, save_heads=True, data_dir='no-persist',
+               persist_heads=False) as tc:
+        pipe('a dog runs', num_inference_steps=2, generator=set_seed(0))
+    assert not tc.heads_path().exists()
+
+
 def test_replay_missing_raises(pipe):
     with trace(pipe, load_heads=True, data_dir='nonexistent-key') as tc:
         with pytest.raises(RuntimeError, match='No saved attention heads'):

@@ -48,8 +48,12 @@ def test_dp_matches_single_device(pipe):
     out_sharded = generate_batch(pipe, prompts, mesh=mesh,
                                  num_inference_steps=2, seed=0)
     for a, b in zip(out_single.images, out_sharded.images):
-        np.testing.assert_allclose(np.array(a, dtype=np.float32),
-                                   np.array(b, dtype=np.float32), atol=2.0)
+        diff = np.abs(np.array(a, dtype=np.float32) -
+                      np.array(b, dtype=np.float32))
+        # per-pixel: rounding-level only; mean: no broad drift (VERDICT r2:
+        # atol=2 alone would pass visible global shifts)
+        assert diff.max() <= 2.0
+        assert diff.mean() < 0.05
 
 
 def test_dp_tp_traced_generation(pipe):
@@ -92,7 +96,33 @@ def test_tp4_traced_matches_single_device():
     np.testing.assert_allclose(ref_maps, sharded, rtol=1e-2, atol=1e-3)
 
 
-def test_batch_not_divisible_raises(pipe):
+def test_pad_to_batch_uneven_tail(pipe):
+    """B=3 on dp=4: the tail pads (repeat-last) to the mesh batch and the
+    outputs slice back — same compiled program as a full batch, no crash
+    (VERDICT r2 #7)."""
     mesh = make_mesh(dp=4, tp=1)
-    with pytest.raises(AssertionError):
-        generate_batch(pipe, ['a', 'b', 'c'], mesh=mesh, num_inference_steps=1)
+    prompts = ['a dog runs', 'a cat sits', 'a bird flies']
+    out = generate_batch(pipe, prompts, mesh=mesh, num_inference_steps=2,
+                         seed=0)
+    assert len(out.images) == 3
+
+    # padding must not change real samples: the same prompts in a full
+    # divisible batch give the same images
+    full = generate_batch(pipe, prompts + ['a bird flies'], mesh=mesh,
+                          num_inference_steps=2, seed=0)
+    for a, b in zip(out.images, full.images):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
+
+
+def test_pad_to_batch_traced_heat_maps(pipe):
+    """Uneven tail under tracing: per-sample heat maps remain addressable
+    for every real sample."""
+    mesh = make_mesh(dp=4, tp=1)
+    prompts = ['a dog runs', 'a cat sits', 'a bird flies']
+    with trace(pipe) as tc:
+        out = generate_batch(pipe, prompts, mesh=mesh, num_inference_steps=2,
+                             seed=0)
+        assert len(out.images) == 3
+        for i, p in enumerate(prompts):
+            maps = np.asarray(tc.compute_global_heat_map(batch_idx=i).heat_maps)
+            assert np.isfinite(maps).all()
