@@ -80,11 +80,33 @@ def _experiment_file(path: Union[str, Path], prompt_id: Optional[str],
     return base / name
 
 
+class _RefShim:
+    """Stand-in for ``daam.experiment.GenerationExperiment`` when unpickling
+    reference-written checkpoints without the reference installed: accepts
+    the pickled ``__dict__`` as attributes (the default dataclass BUILD)."""
+
+
+class _RefCompatUnpickler(pickle.Unpickler):
+    """Maps reference classes (and any other unresolvable ``daam.*`` global)
+    to inert shims so ``torch.load`` of a reference ``generation.pt`` works
+    even when ``daam``/``diffusers``/``spacy`` are not importable."""
+
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            if module.startswith('daam'):
+                return type(name, (_RefShim,), {})
+            raise
+
+
 def _read_payload(pt_path: Path) -> dict:
     """Read ``generation.pt``: our pickled-numpy payload, or — when the file
-    is a torch zip checkpoint written by the reference — via torch.load."""
+    is a torch zip checkpoint (reference-written, or our own
+    ``reference_format=True`` output) — via torch.load with a compat
+    unpickler."""
     raw = pt_path.read_bytes()
-    if raw[:2] == b'PK':  # torch.save zip container (reference-written)
+    if raw[:2] == b'PK':  # torch.save zip container
         try:
             import io
             import torch
@@ -92,8 +114,12 @@ def _read_payload(pt_path: Path) -> dict:
             raise RuntimeError(
                 f'{pt_path} is a torch checkpoint (reference-written); '
                 f'reading it requires torch, which is not importable') from e
+
+        class _PickleModule:
+            Unpickler = _RefCompatUnpickler
+
         exp = torch.load(io.BytesIO(raw), map_location='cpu',
-                         weights_only=False)
+                         weights_only=False, pickle_module=_PickleModule)
         return {
             'image': np.array(exp.image),
             'global_heat_map': np.asarray(exp.global_heat_map,
@@ -103,6 +129,55 @@ def _read_payload(pt_path: Path) -> dict:
             'format': 'daam.reference',
         }
     return pickle.loads(raw)
+
+
+def _write_reference_payload(pt_path: Path, image, global_heat_map,
+                             prompt: str, seed, subtype: str) -> None:
+    """Write ``generation.pt`` as a torch checkpoint the *reference* can load:
+    ``torch.load`` on the reference side must unpickle a
+    ``daam.experiment.GenerationExperiment`` instance
+    (``daam/experiment.py:337``).  We emit that class reference by pickling a
+    dynamically-created class whose ``__module__``/``__qualname__`` point at
+    the reference path, with fake modules registered for the duration of the
+    dump (pickle stores classes by reference, so nothing of ours ends up in
+    the file — the reference resolves its own class at load time)."""
+    import sys
+    import types
+
+    import torch
+
+    cls = type('GenerationExperiment', (), {'__module__': 'daam.experiment'})
+    obj = cls.__new__(cls)
+    obj.__dict__.update(
+        image=image,
+        global_heat_map=torch.from_numpy(
+            np.asarray(global_heat_map, dtype=np.float32)),
+        prompt=prompt,
+        seed=seed,
+        id='.',
+        path=None,
+        truth_masks=None,
+        prediction_masks=None,
+        annotations=None,
+        subtype=subtype,
+        tokenizer=None,
+    )
+
+    fake_pkg = types.ModuleType('daam')
+    fake_mod = types.ModuleType('daam.experiment')
+    fake_mod.GenerationExperiment = cls
+    fake_pkg.experiment = fake_mod
+    saved = {k: sys.modules.get(k) for k in ('daam', 'daam.experiment')}
+    sys.modules['daam'] = fake_pkg
+    sys.modules['daam.experiment'] = fake_mod
+    try:
+        torch.save(obj, pt_path)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                del sys.modules[k]
+            else:
+                sys.modules[k] = v
 
 
 @dataclass
@@ -160,17 +235,29 @@ class GenerationExperiment:
         }
 
     def save(self, path: Optional[str] = None, heat_maps: bool = True,
-             tokenizer: Any = None):
+             tokenizer: Any = None, reference_format: bool = False):
         """Write the reference's exact artifact set
-        (``daam/experiment.py:140-167``, README contract)."""
+        (``daam/experiment.py:140-167``, README contract).
+
+        ``reference_format=True`` (requires torch) writes ``generation.pt``
+        as a torch checkpoint that the reference's
+        ``GenerationExperiment.load`` can read directly
+        (``daam/experiment.py:337``) — use it when a reference toolchain
+        consumes the experiment dirs.  The default plain-pickle payload has
+        no torch dependency; this implementation loads both."""
         if path is not None:
             self.path = Path(path) / self.id
         path = self.path
         tokenizer = tokenizer or self.tokenizer
 
         (path / self.subtype).mkdir(parents=True, exist_ok=True)
-        (path / self.subtype / 'generation.pt').write_bytes(
-            pickle.dumps(self._payload()))
+        if reference_format:
+            _write_reference_payload(
+                path / self.subtype / 'generation.pt', self.image,
+                self.global_heat_map, self.prompt, self.seed, self.subtype)
+        else:
+            (path / self.subtype / 'generation.pt').write_bytes(
+                pickle.dumps(self._payload()))
         self.image.save(path / self.subtype / 'output.png')
         (path / 'prompt.txt').write_text(self.prompt)
         (path / 'seed.txt').write_text(str(self.seed))

@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--truth-only', action='store_true')
     parser.add_argument('--save-heads', action='store_true')
     parser.add_argument('--load-heads', action='store_true')
+    parser.add_argument('--reference-format', action='store_true',
+                        help='write generation.pt as a torch checkpoint the '
+                             'reference daam tooling can load (needs torch)')
     # TPU-native extensions
     parser.add_argument('--tiny', action='store_true',
                         help='random-weight tiny fixture (smoke tests, no checkpoints)')
@@ -284,7 +287,9 @@ def main(argv=None):
                 exp = tc.to_experiment(args.output_folder, id=prompt_id,
                                        seed=seed, batch_idx=offset)
                 exp.image = out.images[offset]
-                exp.save(args.output_folder, heat_maps=args.action == 'quickgen')
+                exp.save(args.output_folder,
+                         heat_maps=args.action == 'quickgen',
+                         reference_format=args.reference_format)
 
                 if args.all_heads:
                     exp.clear_checkpoint()

@@ -40,6 +40,82 @@ def test_save_load_roundtrip(exp, tmp_path):
     np.testing.assert_array_equal(np.array(loaded.image), np.array(exp.image))
 
 
+def test_reference_format_roundtrip(exp, tmp_path):
+    """reference_format=True: generation.pt becomes a torch zip checkpoint
+    whose pickle resolves daam.experiment.GenerationExperiment (two-way
+    interop, VERDICT r2 #6) — and our own loader reads it back."""
+    import zipfile
+
+    pytest.importorskip('torch')
+    exp.save(reference_format=True)
+    pt = exp.path / 'generation.pt'
+    assert zipfile.is_zipfile(pt)
+    with zipfile.ZipFile(pt) as zf:
+        pkl_name = next(n for n in zf.namelist() if n.endswith('data.pkl'))
+        data = zf.read(pkl_name)
+    assert b'daam.experiment' in data          # class stored by reference
+    assert b'daam_tpu' not in data             # nothing of ours in the file
+
+    loaded = GenerationExperiment.load(tmp_path / 'exp1')
+    assert loaded.prompt == 'a dog runs'
+    assert loaded.seed == 42
+    np.testing.assert_allclose(np.asarray(loaded.global_heat_map),
+                               np.asarray(exp.global_heat_map), rtol=1e-6)
+    np.testing.assert_array_equal(np.array(loaded.image), np.array(exp.image))
+
+
+def test_reference_can_torch_load_our_file(exp, tmp_path):
+    """Emulate the reference runtime: with a real ``daam.experiment`` module
+    importable (minimal dataclass stand-in here), the reference's exact
+    ``torch.load(path)`` call (``daam/experiment.py:337``) must yield a
+    GenerationExperiment instance with our data."""
+    import sys
+    import types
+    from dataclasses import dataclass, field
+    from typing import Any, Optional
+
+    torch = pytest.importorskip('torch')
+    exp.save(reference_format=True)
+
+    mod = types.ModuleType('daam.experiment')
+
+    @dataclass
+    class RefGenerationExperiment:
+        image: Any = None
+        global_heat_map: Any = None
+        prompt: str = ''
+        seed: Optional[int] = None
+        id: str = '.'
+        path: Optional[Any] = None
+        truth_masks: Optional[dict] = None
+        prediction_masks: Optional[dict] = None
+        annotations: Optional[dict] = None
+        subtype: Optional[str] = '.'
+        tokenizer: Any = None
+
+    RefGenerationExperiment.__qualname__ = 'GenerationExperiment'
+    RefGenerationExperiment.__name__ = 'GenerationExperiment'
+    RefGenerationExperiment.__module__ = 'daam.experiment'
+    mod.GenerationExperiment = RefGenerationExperiment
+    pkg = types.ModuleType('daam')
+    pkg.experiment = mod
+    sys.modules['daam'] = pkg
+    sys.modules['daam.experiment'] = mod
+    try:
+        out = torch.load(exp.path / 'generation.pt', weights_only=False)
+    finally:
+        del sys.modules['daam'], sys.modules['daam.experiment']
+
+    assert type(out).__name__ == 'GenerationExperiment'
+    assert isinstance(out, RefGenerationExperiment)
+    assert out.prompt == 'a dog runs'
+    assert out.seed == 42
+    assert isinstance(out.global_heat_map, torch.Tensor)
+    np.testing.assert_allclose(out.global_heat_map.numpy(),
+                               np.asarray(exp.global_heat_map), rtol=1e-6)
+    np.testing.assert_array_equal(np.array(out.image), np.array(exp.image))
+
+
 def test_truth_masks_roundtrip(exp, tmp_path):
     mask = np.zeros((64, 64), dtype=np.float32)
     mask[10:30, 10:30] = 1
