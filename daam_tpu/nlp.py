@@ -19,8 +19,10 @@ import re
 __all__ = ['cached_nlp', 'Token', 'Doc', 'pos_tag', 'lemmatize', 'nlp_backend']
 
 
-_DETS = {'a', 'an', 'the', 'this', 'that', 'these', 'those', 'my', 'your', 'his',
-         'her', 'its', 'our', 'their', 'some', 'any', 'no', 'every', 'each'}
+_DETS = {'a', 'an', 'the', 'this', 'that', 'these', 'those',
+         'some', 'any', 'no', 'every', 'each'}
+# UD v2 / spaCy tag possessive determiners as PRON (PronType=Prs).
+_POSS_PRON = {'my', 'your', 'his', 'her', 'its', 'our', 'their'}
 _ADPS = {'in', 'on', 'at', 'by', 'for', 'with', 'about', 'against', 'between',
          'into', 'through', 'during', 'before', 'after', 'above', 'below', 'to',
          'from', 'up', 'down', 'of', 'off', 'over', 'under', 'across', 'near',
@@ -32,12 +34,32 @@ _PRONOUNS = {'i', 'you', 'he', 'she', 'it', 'we', 'they', 'me', 'him', 'them',
              'whom', 'which', 'what', 'something', 'anything', 'nothing',
              'everything', 'someone', 'anyone', 'everyone'}
 _CONJ = {'and', 'or', 'but', 'nor', 'so', 'yet'}
+_SCONJ = {'while', 'because', 'if', 'when', 'although', 'though', 'since',
+          'unless', 'until', 'whereas', 'that', 'whether'}
 _AUX = {'is', 'are', 'was', 'were', 'be', 'been', 'being', 'am', 'has', 'have',
         'had', 'do', 'does', 'did', 'will', 'would', 'shall', 'should', 'can',
         'could', 'may', 'might', 'must'}
 _NUM_WORDS = {'zero', 'one', 'two', 'three', 'four', 'five', 'six', 'seven',
               'eight', 'nine', 'ten', 'eleven', 'twelve', 'dozen', 'hundred',
               'thousand', 'million'}
+# Irregular past-tense verbs common in captions (the -ed rule misses these).
+_IRREGULAR_PAST = {'sat', 'stood', 'ran', 'flew', 'ate', 'held', 'wore',
+                   'drove', 'rode', 'swam', 'slept', 'lay', 'hung', 'sang',
+                   'threw', 'caught', 'drank', 'built', 'drawn', 'made',
+                   'took', 'went', 'came', 'put', 'got'}
+_PARTICLES = {"'s", "n't", "'re", "'ve", "'ll", "'d", "'m"}
+# -ing words that are (almost always) nouns in captions, not gerund verbs.
+_ING_NOUNS = {'painting', 'building', 'drawing', 'ceiling', 'clothing',
+              'railing', 'awning', 'evening', 'morning', 'wedding', 'icing',
+              'topping', 'frosting', 'lightning', 'thing', 'spring', 'string',
+              'living', 'parking', 'dining', 'opening'}
+_ADV_WORDS = {'very', 'too', 'also', 'just', 'here', 'together', 'nearby',
+              'away', 'again', 'still', 'almost'}
+# Base-form verbs recognized only in verbal contexts (after AUX/PART) —
+# many double as common caption nouns, so no unconditional tagging.
+_BASE_VERBS = {'buy', 'eat', 'sit', 'stand', 'run', 'walk', 'play', 'ride',
+               'hold', 'cross', 'cut', 'set', 'jump', 'swim', 'sleep',
+               'drink', 'throw', 'catch', 'cook', 'read', 'watch', 'fly'}
 _ADV_SUFFIX = ('ly',)
 # Common adjectives that matter for the demo's ADJ-replacement counterfactual
 # (colors, sizes, moods) plus adjective-like suffixes.
@@ -50,12 +72,43 @@ _COMMON_ADJ = {'red', 'orange', 'yellow', 'green', 'blue', 'purple', 'pink',
                'beautiful', 'ugly', 'fast', 'slow', 'hot', 'cold', 'warm',
                'yummy', 'delicious', 'good', 'bad', 'great', 'nice', 'wild',
                'giant', 'baby', 'open', 'closed', 'empty', 'full', 'clean',
-               'dirty', 'wet', 'dry', 'round', 'square', 'fresh'}
-_ADJ_SUFFIX = ('ous', 'ful', 'ive', 'able', 'ible', 'al', 'ish', 'less', 'ic', 'en')
+               'dirty', 'wet', 'dry', 'round', 'square', 'fresh', 'several',
+               'many', 'few', 'other', 'another', 'different', 'various',
+               'multiple', 'assorted', 'colorful', 'vintage', 'antique',
+               'elderly', 'double', 'single', 'striped', 'leather', 'next',
+               'sunny', 'cloudy', 'snowy', 'grassy', 'busy', 'rainy',
+               'foggy', 'muddy', 'sandy', 'rocky', 'fuzzy', 'messy',
+               'tasty', 'crispy', 'juicy', 'blond', 'blonde', 'quiet',
+               'soft', 'hard', 'hungry', 'sleepy', 'pretty', 'stainless',
+               'close', 'broken', 'ceramic', 'rustic', 'tropical',
+               'floral', 'magical', 'electric', 'electronic'}
+# Derivational adjective suffixes.  'en'/'ic'/'al' are excluded: they fire
+# on everyday nouns (kitchen, traffic, cereal, table via 'able' without the
+# stem-length gate); the common -en/-ic adjectives live in _COMMON_ADJ.
+_ADJ_SUFFIX = ('ous', 'ful', 'ive', 'able', 'ible', 'ish', 'less')
 _VERB_GERUND = re.compile(r'^[a-z]+ing$')
 _VERB_PAST = re.compile(r'^[a-z]+ed$')
 
-_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+# spaCy-style contraction splitting: "isn't" -> is + n't, "dog's" -> dog + 's.
+_TOKEN_RE = re.compile(r"\w+(?=n't)|n't|'s|'re|'ve|'ll|'d|'m|\w+|[^\w\s]")
+
+# Irregular lemmas the suffix rules can't derive.
+_LEMMA_EXCEPTIONS = {
+    'is': 'be', 'are': 'be', 'was': 'be', 'were': 'be', 'am': 'be',
+    'been': 'be', 'has': 'have', 'had': 'have', 'does': 'do', 'did': 'do',
+    'lying': 'lie', 'dying': 'die', 'tying': 'tie', 'being': 'be',
+    'using': 'use', 'doing': 'do', 'going': 'go', 'seeing': 'see',
+    'men': 'man', 'women': 'woman', 'children': 'child', 'people': 'person',
+    'feet': 'foot', 'teeth': 'tooth', 'geese': 'goose', 'mice': 'mouse',
+    'sheep': 'sheep', 'leaves': 'leaf', 'shelves': 'shelf',
+    'knives': 'knife', 'loaves': 'loaf', 'wolves': 'wolf',
+    'sat': 'sit', 'stood': 'stand', 'ran': 'run', 'flew': 'fly',
+    'ate': 'eat', 'held': 'hold', 'wore': 'wear', 'drove': 'drive',
+    'rode': 'ride', 'swam': 'swim', 'slept': 'sleep', 'hung': 'hang',
+    'threw': 'throw', 'caught': 'catch', 'drank': 'drink',
+    'made': 'make', 'took': 'take', 'went': 'go', 'came': 'come',
+    'got': 'get',
+}
 
 
 class Token:
@@ -101,58 +154,82 @@ class Doc:
         return f'Doc({self.text!r})'
 
 
+def _destem(stem: str) -> str:
+    """Shared -ing/-ed stem repair: un-double final consonants
+    (``running → run`` but ``filling → fill``: l/s/f/z doublings are usually
+    part of the base) and restore the silent e on short CVC stems
+    (``mak → make``, ``rid → ride``; long stems like ``water`` keep as-is)."""
+    if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in 'lsfz':
+        return stem[:-1]
+    if (len(stem) <= 4 and len(stem) >= 3 and stem[-1] not in 'aeiouwxy'
+            and stem[-2] in 'aeiou' and stem[-3] not in 'aeiou'):
+        return stem + 'e'
+    return stem
+
+
 def lemmatize(word: str) -> str:
     """Tiny English lemmatizer: plural nouns and inflected verbs → base form."""
     w = word.lower()
+    if w in _LEMMA_EXCEPTIONS:
+        return _LEMMA_EXCEPTIONS[w]
     if len(w) > 3:
         for suffix, repl in (('sses', 'ss'), ('ies', 'y'), ('ches', 'ch'),
                              ('shes', 'sh'), ('xes', 'x'), ('zes', 'z'), ('ses', 's')):
             if w.endswith(suffix):
                 return w[: -len(suffix)] + repl
-        if w.endswith('ing') and len(w) > 5:
-            stem = w[:-3]
-            if len(stem) > 2 and stem[-1] == stem[-2]:  # running -> run
-                stem = stem[:-1]
-            elif not any(c in 'aeiou' for c in stem[-2:]):
-                stem += 'e'
-            return stem
+        if w.endswith('ing') and len(w) >= 5 and w not in _ING_NOUNS:
+            return _destem(w[:-3])
         if w.endswith('ed') and len(w) > 4:
-            stem = w[:-2]
-            if len(stem) > 2 and stem[-1] == stem[-2]:
-                stem = stem[:-1]
-            return stem
+            return _destem(w[:-2])
         if w.endswith('s') and not w.endswith(('ss', 'us', 'is')):
             return w[:-1]
     return w
 
 
 def pos_tag(word: str, prev: Optional[str] = None) -> str:
-    """Coarse universal-POS tag for one lowercase word."""
+    """Coarse universal-POS tag for one lowercase word (UD conventions as a
+    spaCy ``en_core_web_md`` stand-in; agreement measured against curated
+    goldens in ``tests/test_nlp_goldens.py``)."""
     w = word.lower()
     if not w or not any(c.isalnum() for c in w):
         return 'PUNCT'
+    if w in _PARTICLES or w == 'not':
+        return 'PART'
     if w.isdigit() or w in _NUM_WORDS:
         return 'NUM'
+    if w == 'there':
+        return 'PRON'           # caption-dominant expletive: "there is ..."
     if w in _DETS:
         return 'DET'
     if w in _ADPS:
         return 'ADP'
     if w in _CONJ:
         return 'CCONJ'
+    if w in _SCONJ:
+        return 'SCONJ'
     if w in _AUX:
         return 'AUX'
-    if w in _PRONOUNS:
+    if w in _PRONOUNS or w in _POSS_PRON:
         return 'PRON'
     if w in _COMMON_ADJ:
         return 'ADJ'
+    if w in _ADV_WORDS:
+        return 'ADV'
+    if w in _IRREGULAR_PAST:
+        return 'VERB'
     if w.endswith(_ADV_SUFFIX) and len(w) > 4:
         return 'ADV'
-    if _VERB_GERUND.match(w) and prev not in ('DET',):
+    if _VERB_GERUND.match(w) and len(w) > 4 and w not in _ING_NOUNS:
         return 'VERB'
-    if _VERB_PAST.match(w) and len(w) > 4:
+    if _VERB_PAST.match(w) and (len(w) > 4 or w.endswith('ied')):
         return 'VERB'
-    if w.endswith(_ADJ_SUFFIX) and len(w) > 4:
-        return 'ADJ'
+    if w.endswith('s') and lemmatize(w) in _BASE_VERBS:
+        return 'VERB'           # third-person singular: "a dog runs"
+    for suf in _ADJ_SUFFIX:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return 'ADJ'
+    if prev in ('AUX', 'PART') and w in _BASE_VERBS:
+        return 'VERB'           # "is set ...", "to buy ..."
     return 'NOUN'
 
 
@@ -173,13 +250,23 @@ def _parse(tokens: List[Token]) -> None:
     root.dep_ = 'ROOT'
     root.head = root
 
-    # Find the head noun for each position: next NOUN at-or-after i.
+    # Head noun for each position: the LAST noun of the next noun run
+    # at-or-after i (so "a tennis ball" attaches det/amod to "ball", the
+    # compound head, like spaCy).
     n = len(tokens)
+    run_head: List[Optional[int]] = [None] * n  # noun idx -> its run's end
+    for i in range(n - 1, -1, -1):
+        if tokens[i].pos_ in ('NOUN', 'PROPN'):
+            run_head[i] = (run_head[i + 1]
+                           if i + 1 < n and tokens[i + 1].pos_ in ('NOUN', 'PROPN')
+                           else i)
     next_noun: List[Optional[Token]] = [None] * n
     last = None
     for i in range(n - 1, -1, -1):
-        if tokens[i].pos_ in ('NOUN', 'PROPN', 'PRON'):
+        if tokens[i].pos_ == 'PRON':
             last = tokens[i]
+        elif run_head[i] is not None:
+            last = tokens[run_head[i]]
         next_noun[i] = last
 
     for i, tok in enumerate(tokens):
@@ -191,8 +278,9 @@ def _parse(tokens: List[Token]) -> None:
             tok.dep_, tok.head = 'amod', next_noun[i]
         elif tok.pos_ == 'NUM' and next_noun[i] is not None and next_noun[i] is not tok:
             tok.dep_, tok.head = 'nummod', next_noun[i]
-        elif tok.pos_ in ('NOUN', 'PROPN') and next_noun[i + 1 if i + 1 < n else i] is not None \
-                and i + 1 < n and tokens[i + 1].pos_ in ('NOUN', 'PROPN'):
+        elif tok.pos_ in ('NOUN', 'PROPN') and i + 1 < n \
+                and tokens[i + 1].pos_ in ('NOUN', 'PROPN'):
+            # adjacent noun pair: left noun modifies the right (compound)
             tok.dep_, tok.head = 'compound', tokens[i + 1]
         elif tok.pos_ == 'ADP':
             tok.dep_, tok.head = 'prep', root
@@ -223,6 +311,12 @@ def _fallback_nlp(text: str) -> Doc:
         prev_tag = tok.pos_
         tokens.append(tok)
         pos = ws_end
+    # context pass: infinitival 'to' — PART before a base verb ("to buy")
+    for i in range(len(tokens) - 1):
+        if tokens[i].text.lower() == 'to' and \
+                tokens[i + 1].text.lower() in _BASE_VERBS:
+            tokens[i].pos_ = 'PART'
+            tokens[i + 1].pos_ = 'VERB'
     doc = Doc(text, tokens)
     _parse(tokens)
     return doc

@@ -1,0 +1,130 @@
+"""Fallback-NLP agreement measurement against curated goldens (VERDICT r2 #5).
+
+The reference relies on spaCy ``en_core_web_md`` (``daam/utils.py:94-109``)
+for the POS/lemma/dependency features (lemma prompt filter, cconj pools, demo
+ADJ dropdown, ``dependency_relations``).  spaCy and its models are not
+installable here, so ``daam_tpu.nlp`` ships a rule-based fallback; these
+tests quantify it against 100 hand-curated COCO-style captions tagged with
+UD v2 / spaCy conventions (``tests/fixtures/nlp_goldens.json``) and pin the
+measured agreement as a regression floor.
+
+Measured at round 3: POS agreement ~0.97 token-level (printed by
+``test_pos_agreement``); the floor below is set with headroom so incidental
+vocab additions don't flap the suite.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from daam_tpu.nlp import cached_nlp, lemmatize, pos_tag
+
+FIXTURE = Path(__file__).parent / 'fixtures' / 'nlp_goldens.json'
+
+# ADJ and NOUN drive the reference features (ADJ dropdown in the demo,
+# noun heat-map queries); they get their own, stricter gates.
+POS_FLOOR = 0.93
+ADJ_RECALL_FLOOR = 0.90
+NOUN_PRECISION_FLOOR = 0.90
+
+
+@pytest.fixture(scope='module')
+def goldens():
+    return json.loads(FIXTURE.read_text())['captions']
+
+
+def _tag_all(goldens):
+    rows = []
+    for entry in goldens:
+        doc = cached_nlp(entry['text'])
+        got = [(t.text, t.pos_) for t in doc]
+        assert len(got) == len(entry['pos']), \
+            f'tokenization mismatch on {entry["text"]!r}: ' \
+            f'{[t for t, _ in got]}'
+        rows.extend((entry['text'], tok, pos, want)
+                    for (tok, pos), want in zip(got, entry['pos']))
+    return rows
+
+
+def test_pos_agreement(goldens):
+    rows = _tag_all(goldens)
+    agree = sum(1 for _, _, pos, want in rows if pos == want)
+    total = len(rows)
+    mism = [(t, tok, pos, want) for t, tok, pos, want in rows if pos != want]
+    print(f'\nPOS agreement: {agree}/{total} = {agree / total:.4f}')
+    for text, tok, pos, want in mism[:25]:
+        print(f'  {tok!r}: got {pos}, want {want}  ({text!r})')
+    assert agree / total >= POS_FLOOR
+
+
+def test_adj_recall(goldens):
+    """The demo's ADJ-replacement dropdown and the CLI cconj pools need the
+    adjectives found (reference ``daam/run/demo.py:77``)."""
+    rows = _tag_all(goldens)
+    gold_adj = [(tok, pos) for _, tok, pos, want in rows if want == 'ADJ']
+    found = sum(1 for _, pos in gold_adj if pos == 'ADJ')
+    print(f'\nADJ recall: {found}/{len(gold_adj)} = {found / len(gold_adj):.4f}')
+    assert found / len(gold_adj) >= ADJ_RECALL_FLOOR
+
+
+def test_noun_precision(goldens):
+    """Words we call NOUN should really be nouns (word heat-map queries are
+    noun-driven in the notebooks/evaluator)."""
+    rows = _tag_all(goldens)
+    called = [(tok, want) for _, tok, pos, want in rows if pos == 'NOUN']
+    right = sum(1 for _, want in called if want == 'NOUN')
+    print(f'\nNOUN precision: {right}/{len(called)} = {right / len(called):.4f}')
+    assert right / len(called) >= NOUN_PRECISION_FLOOR
+
+
+def test_lemma_inflection_classes():
+    """Lemmatizer spot checks over the inflection classes spaCy handles
+    (reference lemma filter ``daam/run/generate.py:175-193``)."""
+    cases = {
+        'dogs': 'dog', 'boxes': 'box', 'dishes': 'dish', 'benches': 'bench',
+        'ponies': 'pony', 'glasses': 'glass', 'men': 'man', 'women': 'woman',
+        'children': 'child', 'people': 'person', 'knives': 'knife',
+        'running': 'run', 'sitting': 'sit', 'riding': 'ride',
+        'making': 'make', 'taking': 'take', 'eating': 'eat',
+        'filling': 'fill', 'playing': 'play', 'surfing': 'surf',
+        'standing': 'stand', 'watering': 'water', 'using': 'use',
+        'parked': 'park', 'stopped': 'stop', 'filled': 'fill',
+        'grabbed': 'grab', 'baked': 'bake', 'covered': 'cover',
+        'passed': 'pass', 'dressed': 'dress',
+        'sat': 'sit', 'ran': 'run', 'ate': 'eat', 'flew': 'fly',
+        'wore': 'wear', 'is': 'be', 'was': 'be', 'has': 'have',
+        'buses': 'bus', 'cat': 'cat', 'grass': 'grass',
+    }
+    wrong = {w: (lemmatize(w), want) for w, want in cases.items()
+             if lemmatize(w) != want}
+    assert not wrong, f'lemma mismatches: {wrong}'
+
+
+def test_pos_tag_is_deterministic():
+    assert pos_tag('blue') == 'ADJ'
+    assert pos_tag('dog') == 'NOUN'
+    assert pos_tag('running') == 'VERB'
+    assert pos_tag("'s") == 'PART'
+    assert pos_tag('while') == 'SCONJ'
+    assert pos_tag('sat') == 'VERB'
+
+
+def test_contraction_tokenization():
+    """spaCy-style splits: dog's -> dog + 's; isn't -> is + n't."""
+    toks = [t.text for t in cached_nlp("the dog's bone isn't here")]
+    assert toks == ['the', 'dog', "'s", 'bone', 'is', "n't", 'here']
+
+
+def test_parse_structure_simple_np():
+    """det/amod/compound attach to the following noun; gerund heads as ROOT
+    fallback semantics stay intact (used by dependency_relations,
+    reference ``daam/heatmap.py:133-141``)."""
+    doc = cached_nlp('a big red dog chasing a tennis ball')
+    # positions: 0:a 1:big 2:red 3:dog 4:chasing 5:a 6:tennis 7:ball
+    assert doc[0].dep_ == 'det' and doc[0].head.text == 'dog'
+    assert doc[1].dep_ == 'amod' and doc[1].head.text == 'dog'
+    assert doc[2].dep_ == 'amod' and doc[2].head.text == 'dog'
+    assert doc[4].dep_ == 'ROOT'
+    assert doc[5].dep_ == 'det' and doc[5].head.text == 'ball'
+    assert doc[6].dep_ == 'compound' and doc[6].head.text == 'ball'
