@@ -91,6 +91,10 @@ class StableDiffusionPipeline:
         # raw attention buffers stream to host and device memory stays bounded
         # (~chunk×per-step size instead of steps×).
         self.heads_chunk_steps = 8
+        # Replay-buffer element type.  bfloat16 (default) halves the head
+        # buffers; set to jnp.float32 for bit-exact transplants matching the
+        # reference's full-precision saved heads (daam/trace.py:246-250).
+        self.heads_dtype = jnp.bfloat16
 
         # Safety-checker slot (reference pipelines run one and DAAM hooks it,
         # daam/trace.py:156-169): a callable ``(images_u8, prompts) ->
@@ -162,6 +166,9 @@ class StableDiffusionPipeline:
         # keeps the probs side-output + per-step XLA accumulation.
         acc_mode = capture and not save_heads
         T_ctx = self.tokenizer.model_max_length
+        # Bound at build time: programs are cached per signature, so set
+        # pipe.heads_dtype before the first save_heads call of a signature.
+        heads_dtype = self.heads_dtype
 
         # capture_spec: tuple of (factor, (layer_names...), (layer_ids...))
         def make_acc():
@@ -274,7 +281,8 @@ class StableDiffusionPipeline:
 
                 ys = None
                 if save_heads:
-                    ys = {n: p.astype(jnp.bfloat16) for n, p in probs.items()}
+                    ys = {n: p.astype(heads_dtype)
+                          for n, p in probs.items()}
                 return (latents, sched_state, accs), ys
             return step
 

@@ -204,10 +204,15 @@ class DiffusionHeatMapHooker(AggregateHooker):
 
     def dump_heads(self, path: Union[str, Path]):
         """Persist the replay buffer to disk (.npz), the cross-process analog
-        of the reference's per-call ``torch.save`` files."""
+        of the reference's per-call ``torch.save`` files.  bf16 buffers (the
+        default ``pipe.heads_dtype``) store as fp16; fp32 buffers (exact
+        reference-precision transplants) store as fp32."""
         saved = self.replay_buffer(0)
-        arrays = {name: np.asarray(arr, dtype=np.float16)
-                  for name, arr in saved.items()}
+        arrays = {}
+        for name, arr in saved.items():
+            arr = np.asarray(arr)
+            arrays[name] = arr if arr.dtype == np.float32 \
+                else arr.astype(np.float16)
         np.savez_compressed(path, **arrays)
 
     def load_heads_from(self, path: Union[str, Path]):
@@ -215,7 +220,10 @@ class DiffusionHeatMapHooker(AggregateHooker):
 
         data = np.load(path)
         _HEAD_CACHE[self.data_dir] = {
-            name: jnp.asarray(data[name], dtype=jnp.bfloat16)
+            name: jnp.asarray(
+                data[name],
+                dtype=(jnp.float32 if data[name].dtype == np.float32
+                       else jnp.bfloat16))
             for name in data.files}
 
     # ------------------------------------------------------------- queries

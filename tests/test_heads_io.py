@@ -68,6 +68,32 @@ def test_replay_missing_raises(pipe):
             pipe('a dog runs', num_inference_steps=2, generator=set_seed(0))
 
 
+def test_full_precision_heads_dtype(tmp_path, monkeypatch):
+    """pipe.heads_dtype = float32 gives reference-precision transplants
+    (VERDICT r2 weak #5): the replayed generation reproduces the saved one
+    bit-identically, and the persisted npz keeps fp32."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv('XDG_CACHE_HOME', str(tmp_path))
+    pipe = StableDiffusionPipeline.from_pretrained('tiny', scheduler='ddim')
+    pipe.heads_dtype = jnp.float32
+
+    with trace(pipe, save_heads=True, data_dir='fp32-heads') as tc:
+        out1 = pipe('a dog runs', num_inference_steps=3, generator=set_seed(1))
+        buf = tc.replay_buffer(3)
+        assert all(a.dtype == jnp.float32 for a in buf.values())
+
+    data = np.load(tc.heads_path())
+    assert all(data[n].dtype == np.float32 for n in data.files)
+
+    with trace(pipe, load_heads=True, data_dir='fp32-heads'):
+        out2 = pipe('a dog runs', num_inference_steps=3, generator=set_seed(1))
+    # fp32 replay of the same prompt: the kernel consumes the exact saved
+    # probabilities, so images match exactly
+    np.testing.assert_array_equal(np.array(out1.images[0]),
+                                  np.array(out2.images[0]))
+
+
 def test_step_timer_and_time_pipeline(pipe):
     from daam_tpu.profiling import StepTimer, time_pipeline
 
