@@ -288,22 +288,48 @@ class HashWordTokenizer(_TokenizerBase):
         return ids
 
 
+#: Bundled full-size CLIP-format vocabulary (49,408 entries, learned offline
+#: by ``scripts/learn_clip_bpe.py``; token-for-token parity with HF
+#: ``CLIPTokenizer`` over these files is CI-gated in
+#: ``tests/test_bpe_real_vocab.py``).  Used when no checkpoint supplies its
+#: own ``tokenizer/`` files.
+BUNDLED_VOCAB_DIR = Path(__file__).parent / 'data' / 'clip-bpe'
+
+_DEFAULT_CACHE: Dict[Tuple[str, Optional[int], bool], '_TokenizerBase'] = {}
+
+
 def default_tokenizer(model_dir: Optional[Union[str, Path]] = None,
                       pad_id: Optional[int] = None,
                       prefer_native: bool = True) -> _TokenizerBase:
     """Return the best available tokenizer: the native (C++) BPE when vocab
     files exist and the extension builds, the Python BPE otherwise, and the
-    hash fallback when no vocab files are present."""
+    hash fallback only when no vocab files are available at all.
+
+    Resolution order: the model directory's own ``vocab.json``/``merges.txt``
+    (or its ``tokenizer/`` subdir — exact checkpoint tokens), then the
+    bundled :data:`BUNDLED_VOCAB_DIR` vocabulary, then
+    :class:`HashWordTokenizer`.  Instances are cached per (path, pad_id)."""
+    candidates = []
     if model_dir is not None:
         model_dir = Path(model_dir)
-        for cand in (model_dir, model_dir / 'tokenizer'):
-            if (cand / 'vocab.json').exists() and (cand / 'merges.txt').exists():
-                if prefer_native:
-                    try:
-                        from .native import NativeBpeTokenizer
-                        return NativeBpeTokenizer.from_pretrained(cand,
-                                                                  pad_id=pad_id)
-                    except Exception:
-                        pass
-                return ClipBpeTokenizer.from_pretrained(cand, pad_id=pad_id)
+        candidates += [model_dir, model_dir / 'tokenizer']
+    candidates.append(BUNDLED_VOCAB_DIR)
+
+    for cand in candidates:
+        if (cand / 'vocab.json').exists() and (cand / 'merges.txt').exists():
+            key = (str(cand), pad_id, prefer_native)
+            if key in _DEFAULT_CACHE:
+                return _DEFAULT_CACHE[key]
+            if prefer_native:
+                try:
+                    from .native import NativeBpeTokenizer
+                    tok = NativeBpeTokenizer.from_pretrained(cand,
+                                                             pad_id=pad_id)
+                    _DEFAULT_CACHE[key] = tok
+                    return tok
+                except Exception:
+                    pass
+            tok = ClipBpeTokenizer.from_pretrained(cand, pad_id=pad_id)
+            _DEFAULT_CACHE[key] = tok
+            return tok
     return HashWordTokenizer(pad_id=pad_id)

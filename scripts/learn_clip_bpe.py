@@ -23,7 +23,7 @@ end-of-word symbol alphabet CLIP uses (word = chars, last char + '</w>'),
 with a lazy max-heap and deterministic (count, pair) tie-breaking so the
 output is reproducible run to run.
 
-Usage: python scripts/learn_clip_bpe.py [-o data/clip-bpe] [--target 48894]
+Usage: python scripts/learn_clip_bpe.py [-o daam_tpu/data/clip-bpe] [--target 48894]
 """
 
 import argparse
@@ -212,7 +212,7 @@ def emit(merges, out_dir: Path):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('-o', '--out', default=str(REPO / 'data' / 'clip-bpe'))
+    ap.add_argument('-o', '--out', default=str(REPO / 'daam_tpu' / 'data' / 'clip-bpe'))
     ap.add_argument('--target', type=int, default=N_MERGES_CLIP)
     args = ap.parse_args()
 

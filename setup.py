@@ -13,6 +13,9 @@ setuptools.setup(
     description='TPU-native diffusion attentive attribution maps (DAAM) for '
                 'Stable Diffusion on JAX/Flax/Pallas',
     packages=setuptools.find_packages(exclude=('tests',)),
+    package_data={'daam_tpu': ['data/clip-bpe/vocab.json',
+                               'data/clip-bpe/merges.txt',
+                               'native/*.cpp', 'native/*.inc']},
     python_requires='>=3.10',
     install_requires=[
         'jax', 'flax', 'numpy', 'pillow', 'matplotlib', 'scipy',

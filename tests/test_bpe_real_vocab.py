@@ -2,7 +2,7 @@
 
 Round 2 proved the BPE algorithm on a 10-token synthetic vocab only.  These
 tests load the full-size 49,408-entry CLIP-format vocabulary learned offline
-by ``scripts/learn_clip_bpe.py`` (``data/clip-bpe/``; same file format and
+by ``scripts/learn_clip_bpe.py`` (``daam_tpu/data/clip-bpe/``; same file format and
 shape as OpenAI's — 256 byte symbols, 256 ``byte</w>``, 48,894 merges,
 2 specials) into the *actual* ``transformers.CLIPTokenizer`` and require
 token-for-token agreement from both our Python BPE and the native C++ BPE
@@ -25,11 +25,11 @@ transformers = pytest.importorskip('transformers')
 
 from daam_tpu.tokenization import ClipBpeTokenizer  # noqa: E402
 
-VOCAB_DIR = Path(__file__).resolve().parent.parent / 'data' / 'clip-bpe'
+from daam_tpu.tokenization import BUNDLED_VOCAB_DIR as VOCAB_DIR
 
 pytestmark = pytest.mark.skipif(
     not (VOCAB_DIR / 'vocab.json').exists(),
-    reason='data/clip-bpe not generated (scripts/learn_clip_bpe.py)')
+    reason='daam_tpu/data/clip-bpe not generated (scripts/learn_clip_bpe.py)')
 
 # punctuation / unicode / contraction torture corpus (reference word-map
 # queries live or die on exact subword behavior, daam/utils.py:73-91)

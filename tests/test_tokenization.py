@@ -97,9 +97,19 @@ def test_bpe_roundtrip_from_files(tmp_path, bpe_tok):
     assert default_tokenizer(tmp_path).tokenize('dog') == ['dog</w>']
 
 
-def test_default_tokenizer_fallback(tmp_path):
-    tok = default_tokenizer(tmp_path)  # empty dir -> hash fallback
-    assert isinstance(tok, HashWordTokenizer)
+def test_default_tokenizer_resolution(tmp_path, monkeypatch):
+    import daam_tpu.tokenization as T
+
+    # no checkpoint files -> the bundled full-size CLIP-format vocab
+    tok = default_tokenizer(tmp_path)
+    assert not isinstance(tok, HashWordTokenizer)
+    assert tok.sot_id == 49406 and tok.eot_id == 49407
+    # instance cache: same (path, pad_id) returns the same object
+    assert default_tokenizer(tmp_path) is tok
+
+    # without the bundled vocab -> hash fallback
+    monkeypatch.setattr(T, 'BUNDLED_VOCAB_DIR', tmp_path / 'nope')
+    assert isinstance(default_tokenizer(tmp_path), HashWordTokenizer)
 
 
 def test_against_transformers_clip_if_available(hash_tok):
