@@ -17,6 +17,9 @@ import pkgutil
 import sys
 from pathlib import Path
 
+# run from anywhere: the package root must be importable
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 MODULES = [
     'daam_tpu',
     'daam_tpu.trace',
@@ -41,6 +44,8 @@ MODULES = [
     'daam_tpu.pipeline.sdxl',
     'daam_tpu.pipeline.schedulers',
     'daam_tpu.parallel.mesh',
+    'daam_tpu.parallel.distributed',
+    'daam_tpu.native.bpe_binding',
     'daam_tpu.run.generate',
     'daam_tpu.run.evaluate',
     'daam_tpu.run.demo',
