@@ -20,11 +20,16 @@ __all__ = ['CLIPTextEncoder']
 
 
 def _activation(name: str):
-    if name == 'quick_gelu':
+    """Explicit dispatch on the HF activation-name taxonomy — a fallthrough
+    here silently swaps exact and tanh-approximate gelu (~1e-3 drift per
+    layer, the parity bug class the full-geometry tests exist to catch)."""
+    if name == 'quick_gelu':                     # CLIP-L (SD1.x, SDXL #1)
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
-    # HF 'gelu' (OpenCLIP H/bigG encoders) is the exact erf form;
-    # jax.nn.gelu defaults to the tanh approximation, which drifts ~1e-3.
-    return lambda x: jax.nn.gelu(x, approximate=False)
+    if name in ('gelu', 'gelu_python'):          # OpenCLIP H/bigG: exact erf
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name in ('gelu_new', 'gelu_pytorch_tanh', 'gelu_fast'):
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    raise ValueError(f'unknown hidden_act {name!r}')
 
 
 class CLIPAttention(nn.Module):

@@ -177,7 +177,10 @@ def lemmatize(word: str) -> str:
                              ('shes', 'sh'), ('xes', 'x'), ('zes', 'z'), ('ses', 's')):
             if w.endswith(suffix):
                 return w[: -len(suffix)] + repl
-        if w.endswith('ing') and len(w) >= 5 and w not in _ING_NOUNS:
+        # len > 5: 5-letter -ing words (swing, bring, cling, suing) are
+        # roots or irregulars, not inflections — stripping yields garbage
+        # ('sw'); the real 5-letter gerunds live in _LEMMA_EXCEPTIONS.
+        if w.endswith('ing') and len(w) > 5 and w not in _ING_NOUNS:
             return _destem(w[:-3])
         if w.endswith('ed') and len(w) > 4:
             return _destem(w[:-2])
@@ -317,6 +320,18 @@ def _fallback_nlp(text: str) -> Doc:
                 tokens[i + 1].text.lower() in _BASE_VERBS:
             tokens[i].pos_ = 'PART'
             tokens[i + 1].pos_ = 'VERB'
+    # context pass: -ing word right after a determiner/possessive that is NOT
+    # modifying a following noun is a noun, not a participle ("on a swing",
+    # "a pudding." vs "a running dog" which stays VERB)
+    for i, tok in enumerate(tokens):
+        if tok.pos_ != 'VERB' or not tok.text.lower().endswith('ing'):
+            continue
+        prev_ok = i > 0 and (tokens[i - 1].pos_ == 'DET' or
+                             tokens[i - 1].text.lower() in _POSS_PRON)
+        nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+        if prev_ok and (nxt is None or
+                        nxt.pos_ not in ('NOUN', 'PROPN', 'ADJ', 'NUM')):
+            tok.pos_ = 'NOUN'
     doc = Doc(text, tokens)
     _parse(tokens)
     return doc

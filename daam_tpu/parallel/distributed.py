@@ -37,6 +37,18 @@ from typing import Optional
 __all__ = ['init_distributed', 'make_global_mesh', 'is_multi_process']
 
 
+def _already_initialized() -> bool:
+    """Whether ``jax.distributed.initialize`` has already run — checked via
+    the distributed global state, NOT ``jax.process_count()``: the latter
+    lazily initializes the XLA backend, after which ``initialize`` hard-errors
+    ('must be called before any JAX calls')."""
+    try:
+        from jax._src import distributed as _dist
+        return _dist.global_state.client is not None
+    except Exception:
+        return False
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> bool:
@@ -44,27 +56,26 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
     With no arguments, relies on the platform's auto-detection (Cloud TPU
     metadata, SLURM, or the ``JAX_COORDINATOR_ADDRESS`` family of env vars).
-    Returns True if a multi-process runtime was initialized, False when
+    Returns True if a multi-process runtime is active, False when
     single-process (in which case this is a no-op and everything below
     behaves exactly as before).  Safe to call twice (the second call is
-    ignored)."""
+    ignored).  Must run before any other JAX usage in the process — JAX
+    refuses to initialize its distributed runtime after the XLA backend has
+    been touched."""
     import jax
 
-    try:
-        if jax.process_count() > 1:      # already initialized
-            return True
-    except RuntimeError:
-        pass
+    if _already_initialized():
+        return jax.process_count() > 1
 
-    kwargs = {}
     if coordinator_address is not None:
-        kwargs.update(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
         try:
-            jax.distributed.initialize(**kwargs)
-        except Exception as e:  # surface a actionable message
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except Exception as e:  # surface an actionable message
             raise RuntimeError(
-                'jax.distributed.initialize failed; check that every process '
+                'jax.distributed.initialize failed; call init_distributed '
+                'before any other JAX usage, and check that every process '
                 'uses the same coordinator_address and a distinct process_id'
             ) from e
         return jax.process_count() > 1

@@ -180,7 +180,7 @@ class DiffusionHeatMapHooker(AggregateHooker):
             return
         path = self.heads_path()
         path.parent.mkdir(parents=True, exist_ok=True)
-        self.dump_heads(path)
+        self.dump_heads(path, compress=False)
 
     def _unhook_impl(self):
         super()._unhook_impl()
@@ -202,18 +202,21 @@ class DiffusionHeatMapHooker(AggregateHooker):
                 f'run a generation with save_heads=True first.')
         return _HEAD_CACHE[self.data_dir]
 
-    def dump_heads(self, path: Union[str, Path]):
+    def dump_heads(self, path: Union[str, Path], compress: bool = True):
         """Persist the replay buffer to disk (.npz), the cross-process analog
         of the reference's per-call ``torch.save`` files.  bf16 buffers (the
         default ``pipe.heads_dtype``) store as fp16; fp32 buffers (exact
-        reference-precision transplants) store as fp32."""
+        reference-precision transplants) store as fp32.  ``compress=False``
+        trades ~2x file size for skipping the zlib pass (what the automatic
+        trace-exit persist uses — a corpus run with ``save_heads`` writes
+        once per generation)."""
         saved = self.replay_buffer(0)
         arrays = {}
         for name, arr in saved.items():
             arr = np.asarray(arr)
             arrays[name] = arr if arr.dtype == np.float32 \
                 else arr.astype(np.float16)
-        np.savez_compressed(path, **arrays)
+        (np.savez_compressed if compress else np.savez)(path, **arrays)
 
     def load_heads_from(self, path: Union[str, Path]):
         import jax.numpy as jnp

@@ -18,7 +18,7 @@ setuptools.setup(
                                'native/*.cpp', 'native/*.inc']},
     python_requires='>=3.10',
     install_requires=[
-        'jax', 'flax', 'numpy', 'pillow', 'matplotlib', 'scipy',
+        'jax', 'flax', 'numpy', 'pillow', 'matplotlib>=3.5', 'scipy',
     ],
     entry_points={
         'console_scripts': [

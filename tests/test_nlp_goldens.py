@@ -110,6 +110,27 @@ def test_pos_tag_is_deterministic():
     assert pos_tag('sat') == 'VERB'
 
 
+def test_gerund_noun_after_determiner():
+    """-ing words heading a noun phrase are nouns ('on a swing'), while
+    attributive participles before a noun stay VERB ('a running dog') —
+    code-review r3 regression."""
+    doc = cached_nlp('a child on a swing')
+    assert doc[4].text == 'swing' and doc[4].pos_ == 'NOUN'
+    doc = cached_nlp('a running dog')
+    assert doc[1].pos_ == 'VERB'
+    for w in ('pudding', 'dumpling', 'duckling'):
+        assert cached_nlp(f'a {w}')[1].pos_ == 'NOUN'
+
+
+def test_lemma_short_ing_roots_untouched():
+    """5-letter -ing roots are not inflections (code-review r3: 'swing' must
+    not lemmatize to 'sw')."""
+    for w in ('swing', 'bring', 'cling', 'sling', 'thing', 'spring'):
+        assert lemmatize(w) == w
+    assert lemmatize('swinging') == 'swing'
+    assert lemmatize('using') == 'use'
+
+
 def test_contraction_tokenization():
     """spaCy-style splits: dog's -> dog + 's; isn't -> is + n't."""
     toks = [t.text for t in cached_nlp("the dog's bone isn't here")]
