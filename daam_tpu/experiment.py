@@ -27,7 +27,7 @@ from .evaluate import load_mask
 
 __all__ = ['GenerationExperiment', 'COCO80_LABELS', 'COCOSTUFF27_LABELS',
            'COCO80_INDICES', 'COCO80_ONTOLOGY', 'COCO80_TO_27',
-           'build_word_list_coco80']
+           'UNUSED_LABELS', 'build_word_list_coco80']
 
 
 # ---------------------------------------------------------------------------
