@@ -77,6 +77,9 @@ class NativeBpeTokenizer(_TokenizerBase):
         if lib is None:
             raise RuntimeError('native BPE library unavailable')
         self._lib = lib
+        self._vocab_json = str(vocab_json)
+        self._merges_txt = str(merges_txt)
+        self._pad_id_arg = pad_id
         self._handle = lib.daam_bpe_new(str(vocab_json).encode(),
                                         str(merges_txt).encode())
         if not self._handle:
@@ -90,6 +93,19 @@ class NativeBpeTokenizer(_TokenizerBase):
         if getattr(self, '_handle', None) and self._lib is not None:
             self._lib.daam_bpe_free(self._handle)
             self._handle = None
+
+    def __getstate__(self):
+        """Pickle by vocab/merges path, not by native state — a ctypes CDLL
+        handle can't be pickled.  Experiments saved in the reference's format
+        (``GenerationExperiment.save``) pickle their tokenizer, so this keeps
+        the native tokenizer usable in that interop path."""
+        return {'vocab_json': self._vocab_json,
+                'merges_txt': self._merges_txt,
+                'pad_id': self._pad_id_arg}
+
+    def __setstate__(self, state):
+        self.__init__(state['vocab_json'], state['merges_txt'],
+                      pad_id=state['pad_id'])
 
     @classmethod
     def from_pretrained(cls, path, pad_id: Optional[int] = None

@@ -101,3 +101,15 @@ def test_native_throughput_advantage(both):
         cc.encode(t)
     t_cc = time.perf_counter() - t0
     assert t_cc < t_py  # strictly faster; typically ~10-30x
+
+
+def test_native_tokenizer_pickles(both):
+    """Pickle round-trip reconstructs the native handle from the vocab paths
+    (reference ``GenerationExperiment.save`` pickles its tokenizer, so the
+    native tokenizer must survive torch.save/torch.load)."""
+    import pickle
+    _, cc = both
+    cc2 = pickle.loads(pickle.dumps(cc))
+    text = 'A Dog, RUNNING!   fast'
+    assert cc2.tokenize(text) == cc.tokenize(text)
+    assert cc2.encode(text) == cc.encode(text)
