@@ -70,6 +70,11 @@ def test_notebook_2_visuosemantic(tmp_path, monkeypatch):
                        monkeypatch)
     assert set(ns['images']) == {'blue', 'green', 'red'}
     assert callable(ns['pair_overlap'])
+    table = ns['cohyponym_table']
+    assert {row['group'] for row in table} == {'cohyponyms', 'unrelated'}
+    for row in table:
+        assert row['n'] == 3
+        assert 0.0 <= row['mIoU'] <= 1.0
 
 
 def test_notebook_0_setup(tmp_path, monkeypatch):
