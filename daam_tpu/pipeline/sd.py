@@ -47,8 +47,18 @@ class _ModuleShim:
 
 
 def _to_pil(images: np.ndarray) -> List[PIL.Image.Image]:
-    images = np.clip(np.asarray(images) * 255 + 0.5, 0, 255).astype(np.uint8)
+    images = np.asarray(images)
+    if images.dtype != np.uint8:
+        images = np.clip(images * 255 + 0.5, 0, 255).astype(np.uint8)
     return [PIL.Image.fromarray(im) for im in images]
+
+
+# uint8 quantization on device: fetching fp32 images through the relay costs
+# ~4x the bytes of u8 (145 vs 68 ms for one 512² image, scripts/profile_phases
+# measurements), so the default 'pil' path converts before the fetch.
+@jax.jit
+def _quantize_u8(images: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(images * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
 
 class StableDiffusionPipeline:
@@ -536,7 +546,10 @@ class StableDiffusionPipeline:
                                        generator,
                                        jnp.float32(guidance_scale), **kwargs)
 
-        pil_images = _to_pil(images) if output_type == 'pil' else list(np.asarray(images))
+        if output_type == 'pil':
+            pil_images = _to_pil(_quantize_u8(images))
+        else:  # 'np': float arrays in [0, 1] (reference/diffusers contract)
+            pil_images = list(np.asarray(images))
         pil_images, nsfw_flags = self.run_safety_checker(pil_images, prompts)
 
         if tr is not None:
