@@ -59,7 +59,8 @@ _ADV_WORDS = {'very', 'too', 'also', 'just', 'here', 'together', 'nearby',
 # many double as common caption nouns, so no unconditional tagging.
 _BASE_VERBS = {'buy', 'eat', 'sit', 'stand', 'run', 'walk', 'play', 'ride',
                'hold', 'cross', 'cut', 'set', 'jump', 'swim', 'sleep',
-               'drink', 'throw', 'catch', 'cook', 'read', 'watch', 'fly'}
+               'drink', 'throw', 'catch', 'cook', 'read', 'watch', 'fly',
+               'like'}
 _ADV_SUFFIX = ('ly',)
 # Common adjectives that matter for the demo's ADJ-replacement counterfactual
 # (colors, sizes, moods) plus adjective-like suffixes.
@@ -86,6 +87,9 @@ _COMMON_ADJ = {'red', 'orange', 'yellow', 'green', 'blue', 'purple', 'pink',
 # on everyday nouns (kitchen, traffic, cereal, table via 'able' without the
 # stem-length gate); the common -en/-ic adjectives live in _COMMON_ADJ.
 _ADJ_SUFFIX = ('ous', 'ful', 'ive', 'able', 'ible', 'ish', 'less')
+# Words tagged ADJ attributively but NOUN as a phrase head ("a baby elephant"
+# vs "her baby"); resolved by a context pass in _fallback_nlp.
+_ADJ_NOUN_AMBIG = {'baby', 'giant'}
 _VERB_GERUND = re.compile(r'^[a-z]+ing$')
 _VERB_PAST = re.compile(r'^[a-z]+ed$')
 
@@ -236,27 +240,33 @@ def pos_tag(word: str, prev: Optional[str] = None) -> str:
     return 'NOUN'
 
 
+_RELATIVIZERS = {'who', 'whom', 'which'}
+
+
 def _parse(tokens: List[Token]) -> None:
-    """Attach a shallow dependency structure: the last NOUN of each noun phrase
-    heads its modifiers (``det``/``amod``/``compound``); verbs become ROOT;
-    other tokens attach to the nearest content word.  This is deliberately
-    simple — it only needs to support DAAM's head/dep heat-map pairing."""
-    root = None
-    for tok in tokens:
-        if tok.pos_ in ('VERB', 'AUX') and root is None:
-            root = tok
-    if root is None:
-        nouns = [t for t in tokens if t.pos_ == 'NOUN']
-        root = nouns[0] if nouns else (tokens[0] if tokens else None)
-    if root is None:
+    """Attach a dependency structure following spaCy ``en_core_web_md``
+    (ClearNLP/OntoNotes) conventions, which the reference relies on
+    (``daam/utils.py:94-109``, ``daam/heatmap.py:133-141``):
+
+    - a finite verb roots the clause; auxiliaries attach as ``aux``
+      ("a cat is sitting" roots *sitting*, spaCy-style);
+    - NP fragments — the dominant COCO-caption shape — root at the head noun
+      with bare participles as ``acl`` ("a man riding a horse" roots *man*);
+    - prepositions attach to the nearest preceding content head (``prep``)
+      and their noun becomes ``pobj``; objects attach to their verb
+      (``dobj``), subjects to the root (``nsubj``);
+    - ``det``/``amod``/``nummod``/``poss`` attach to the noun-run head,
+      compounds chain left-to-right; coordination yields ``cc``/``conj``.
+
+    Attachment accuracy is measured against hand-curated goldens in
+    ``tests/test_nlp_goldens.py`` (UAS / label-accuracy floors)."""
+    n = len(tokens)
+    if n == 0:
         return
-    root.dep_ = 'ROOT'
-    root.head = root
 
     # Head noun for each position: the LAST noun of the next noun run
     # at-or-after i (so "a tennis ball" attaches det/amod to "ball", the
     # compound head, like spaCy).
-    n = len(tokens)
     run_head: List[Optional[int]] = [None] * n  # noun idx -> its run's end
     for i in range(n - 1, -1, -1):
         if tokens[i].pos_ in ('NOUN', 'PROPN'):
@@ -272,27 +282,288 @@ def _parse(tokens: List[Token]) -> None:
             last = tokens[run_head[i]]
         next_noun[i] = last
 
+    def _is_relativizer(j: int) -> bool:
+        w = tokens[j].text.lower()
+        return (w in _RELATIVIZERS
+                or (w == 'that' and j + 1 < n
+                    and tokens[j + 1].pos_ in ('AUX', 'VERB')))
+
+    def _is_finite(i: int) -> bool:
+        """Does tokens[i] root a main clause?  Progressives need an AUX to
+        their left; verbs inside a relative clause ("a dog that is running")
+        never root."""
+        tok = tokens[i]
+        if tok.pos_ != 'VERB':
+            return False
+        w = tok.text.lower()
+        if i > 0 and tokens[i - 1].text.lower() == 'to':
+            return False                       # infinitive
+        saw_aux = False
+        for j in range(i - 1, -1, -1):
+            if _is_relativizer(j):
+                return False                   # relative clause verb
+            if tokens[j].pos_ == 'AUX':
+                saw_aux = True
+            elif tokens[j].pos_ in ('VERB', 'PUNCT', 'SCONJ'):
+                break
+        if w.endswith('ing') and not saw_aux:
+            return False                       # bare participle ("man riding")
+        return True
+
+    finite = [i for i in range(n) if _is_finite(i)]
+    root: Optional[Token] = tokens[finite[0]] if finite else None
+    if root is None:                           # "there is a cat on a mat"
+        root = next((tokens[i] for i in range(n)
+                     if tokens[i].pos_ == 'AUX'
+                     and not any(_is_relativizer(j) for j in range(i))), None)
+    if root is None:                           # NP fragment: first run's head,
+        # extended past a possessive ("a dog's tail" roots at *tail*)
+        for i in range(n):
+            if run_head[i] is not None:
+                h = run_head[i]
+                while h + 1 < n and tokens[h + 1].text.lower() == "'s" \
+                        and h + 2 < n and next_noun[h + 2] is not None:
+                    h = next_noun[h + 2].i
+                root = tokens[h]
+                break
+    if root is None:
+        root = next((t for t in tokens if t.pos_ == 'VERB'), tokens[0])
+    root.dep_, root.head = 'ROOT', root
+
+    def nearest_content_left(i: int) -> Optional[Token]:
+        """Nearest verb / aux / noun-run head / pronoun to the left."""
+        for j in range(i - 1, -1, -1):
+            tj = tokens[j]
+            if tj.pos_ in ('VERB', 'AUX'):
+                return tj
+            if run_head[j] == j or tj.pos_ == 'PRON':
+                return tj
+        return None
+
+    def nearest_noun_head_left(i: int) -> Optional[Token]:
+        """Nearest noun-run head or personal pronoun to the left; relativizer
+        and possessive pronouns are not phrase heads and are skipped."""
+        for j in range(i - 1, -1, -1):
+            if run_head[j] == j:
+                return tokens[j]
+            if tokens[j].pos_ == 'PRON' and not _is_relativizer(j) \
+                    and tokens[j].text.lower() not in _POSS_PRON:
+                return tokens[j]
+        return None
+
+    def nearest_verb(i: int) -> Optional[Token]:
+        for j in range(i - 1, -1, -1):
+            if tokens[j].pos_ == 'VERB':
+                return tokens[j]
+        for j in range(i + 1, n):
+            if tokens[j].pos_ == 'VERB':
+                return tokens[j]
+        return None
+
+    def left_licensor(i: int) -> Optional[Token]:
+        """The governor of a noun phrase ending at head i: skip the noun's own
+        run and premodifiers, return the first licensing token."""
+        for j in range(i - 1, -1, -1):
+            tj = tokens[j]
+            if tj.pos_ in ('NOUN', 'PROPN') and run_head[j] == i:
+                continue                       # same compound run
+            if tj.pos_ in ('DET', 'ADJ', 'NUM', 'ADV', 'PART') or \
+                    (tj.pos_ == 'PRON' and tj.text.lower() in _POSS_PRON):
+                continue                       # premodifiers
+            return tj
+        return None
+
+    def _copular(j: int) -> bool:
+        """AUX heading its own (small) clause: followed by a predicate
+        ADJ/NOUN before any VERB ("it was hungry"), vs. a plain auxiliary
+        ("is sitting", "is stopped")."""
+        for k in range(j + 1, n):
+            p = tokens[k].pos_
+            if p == 'VERB':
+                return False
+            if p in ('ADJ', 'NOUN', 'PROPN', 'PRON'):
+                return True
+            if p not in ('DET', 'ADV', 'NUM', 'PART'):
+                return False
+        return False
+
+    def clause_head_after(j: int) -> Optional[Token]:
+        """Head of the clause starting after j: the next VERB, or a copular
+        AUX if one heads the clause first ("because it *was* hungry")."""
+        for k in range(j + 1, n):
+            if tokens[k].pos_ == 'VERB':
+                return tokens[k]
+            if tokens[k].pos_ == 'AUX':
+                if _copular(k):
+                    return tokens[k]
+                return next((tokens[m] for m in range(k + 1, n)
+                             if tokens[m].pos_ == 'VERB'), tokens[k])
+        return None
+
     for i, tok in enumerate(tokens):
         if tok is root:
             continue
-        if tok.pos_ == 'DET' and next_noun[i] is not None and next_noun[i] is not tok:
+        w = tok.text.lower()
+        if tok.pos_ == 'DET' and _is_relativizer(i):
+            nv = next((tokens[j] for j in range(i + 1, n)
+                       if tokens[j].pos_ == 'VERB'), root)
+            tok.dep_, tok.head = 'nsubj', nv   # "a dog that is running"
+        elif tok.pos_ == 'DET' and next_noun[i] is not None and next_noun[i] is not tok:
             tok.dep_, tok.head = 'det', next_noun[i]
-        elif tok.pos_ == 'ADJ' and next_noun[i] is not None and next_noun[i] is not tok:
-            tok.dep_, tok.head = 'amod', next_noun[i]
+        elif tok.pos_ == 'PRON' and w in _POSS_PRON and i + 1 < n \
+                and next_noun[i + 1] is not None:
+            tok.dep_, tok.head = 'poss', next_noun[i + 1]
+        elif tok.pos_ == 'PRON' and w == 'there':
+            tok.dep_, tok.head = 'expl', root  # existential "there is ..."
+        elif tok.pos_ == 'PRON' and w in _RELATIVIZERS:
+            nv = next((tokens[j] for j in range(i + 1, n)
+                       if tokens[j].pos_ == 'VERB'), root)
+            tok.dep_, tok.head = 'nsubj', nv   # "a man who is smiling"
+        elif tok.pos_ == 'ADJ':
+            # amod needs an unbroken premodifier path to its noun ("a big red
+            # dog", "a black and white photo" — but NOT "hungry ate the fish")
+            nn = next_noun[i]
+            if nn is not None and any(
+                    tokens[k].pos_ not in ('ADJ', 'NUM', 'NOUN', 'PROPN',
+                                           'ADV', 'CCONJ')
+                    for k in range(i + 1, nn.i)):
+                nn = None
+            if i >= 2 and tokens[i - 1].pos_ == 'CCONJ' \
+                    and tokens[i - 2].pos_ == 'ADJ':
+                # coordinated adjectives conjoin leftward (spaCy:
+                # "black and white", "clean and empty")
+                tok.dep_, tok.head = 'conj', tokens[i - 2]
+            elif nn is not None and nn is not tok:
+                tok.dep_, tok.head = 'amod', nn
+            else:
+                prev_aux = next(
+                    (tokens[j] for j in range(i - 1, -1, -1)
+                     if tokens[j].pos_ == 'AUX'
+                     and all(tokens[k].pos_ != 'VERB'
+                             for k in range(j + 1, i))), None)
+                if prev_aux is not None:
+                    tok.dep_, tok.head = 'acomp', prev_aux  # "it was hungry"
+                elif tok.i > root.i:
+                    tok.dep_, tok.head = 'acomp', root  # "the cat is black"
+                else:
+                    tok.dep_, tok.head = 'dep', root
         elif tok.pos_ == 'NUM' and next_noun[i] is not None and next_noun[i] is not tok:
             tok.dep_, tok.head = 'nummod', next_noun[i]
         elif tok.pos_ in ('NOUN', 'PROPN') and i + 1 < n \
-                and tokens[i + 1].pos_ in ('NOUN', 'PROPN'):
-            # adjacent noun pair: left noun modifies the right (compound)
-            tok.dep_, tok.head = 'compound', tokens[i + 1]
+                and tokens[i + 1].text.lower() == "'s" \
+                and i + 2 < n and next_noun[i + 2] is not None:
+            tok.dep_, tok.head = 'poss', next_noun[i + 2]   # "the dog's tail"
+        elif tok.pos_ in ('NOUN', 'PROPN') and run_head[i] != i:
+            # inside a noun run: left noun modifies the run head (compound)
+            tok.dep_, tok.head = 'compound', tokens[run_head[i]]
         elif tok.pos_ == 'ADP':
-            tok.dep_, tok.head = 'prep', root
+            head = nearest_content_left(i)
+            if w != 'of' and head is not None \
+                    and head.pos_ not in ('VERB', 'AUX'):
+                # locative/instrumental PPs hang off the clause's verb when
+                # one exists (spaCy: "eating seeds from a feeder" -> eating);
+                # genitive 'of' stays on its noun ("a bowl of soup")
+                for j in range(i - 1, -1, -1):
+                    if tokens[j].pos_ == 'PUNCT':
+                        break
+                    if tokens[j].pos_ == 'VERB':
+                        head = tokens[j]
+                        break
+            tok.dep_, tok.head = 'prep', head if head is not None else root
         elif tok.pos_ in ('NOUN', 'PROPN', 'PRON'):
-            tok.dep_, tok.head = ('nsubj' if tok.i < root.i else 'obj'), root
+            lic = left_licensor(i)
+            if lic is not None and lic.pos_ == 'ADP':
+                tok.dep_, tok.head = 'pobj', lic
+            elif lic is not None and lic.pos_ == 'CCONJ':
+                prev = nearest_noun_head_left(lic.i)
+                if prev is not None:
+                    tok.dep_, tok.head = 'conj', prev
+                else:
+                    tok.dep_, tok.head = 'dep', root
+            elif lic is not None and lic.pos_ == 'VERB':
+                tok.dep_, tok.head = 'dobj', lic
+            elif lic is not None and lic.pos_ == 'AUX':
+                tok.dep_, tok.head = 'attr', lic    # "there is a cat"
+            elif lic is not None and lic.pos_ == 'SCONJ':
+                ch = clause_head_after(lic.i)   # "because *it* was hungry"
+                tok.dep_, tok.head = 'nsubj', ch if ch is not None else root
+            else:
+                tok.dep_, tok.head = \
+                    ('nsubj' if tok.i < root.i else 'dobj'), root
         elif tok.pos_ == 'VERB':
-            tok.dep_, tok.head = 'xcomp', root
+            lic = left_licensor(i)
+            nh = nearest_noun_head_left(i)
+            relcl = nh is not None and any(
+                _is_relativizer(j) for j in range(nh.i + 1, i))
+            sconj = next((j for j in range(i - 1, -1, -1)
+                          if tokens[j].pos_ == 'SCONJ'), None)
+            in_advcl = sconj is not None and all(
+                tokens[k].pos_ not in ('VERB', 'PUNCT')
+                for k in range(sconj + 1, i))
+            if lic is not None and lic.pos_ == 'CCONJ':
+                prev = nearest_content_left(lic.i)
+                tok.dep_, tok.head = 'conj', prev if prev is not None else root
+            elif relcl:
+                tok.dep_, tok.head = 'relcl', nh    # "a dog that is running"
+            elif in_advcl:
+                nv = next((tokens[j] for j in range(sconj - 1, -1, -1)
+                           if tokens[j].pos_ == 'VERB'), root)
+                tok.dep_, tok.head = 'advcl', nv    # "smiling while eating"
+            elif w.endswith('ing') and nh is not None:
+                tok.dep_, tok.head = 'acl', nh      # "a man riding a horse"
+            elif _is_finite(i):
+                tok.dep_, tok.head = 'conj', root   # "a dog runs and jumps"
+            else:
+                nv = nearest_verb(i)
+                if nv is None or nv is tok:
+                    tok.dep_, tok.head = 'xcomp', root
+                elif i > 0 and tokens[i - 1].text.lower() == 'to' \
+                        and any(run_head[k] is not None
+                                for k in range(nv.i + 1, max(nv.i + 1, i - 1))):
+                    # purpose infinitive across an intervening NP:
+                    # "went to the store to buy milk" (spaCy: advcl)
+                    tok.dep_, tok.head = 'advcl', nv
+                else:
+                    tok.dep_, tok.head = 'xcomp', nv
+        elif tok.pos_ == 'AUX':
+            if _copular(i):
+                # copular clause head ("because it *was* hungry" -> advcl)
+                in_sub = any(
+                    tokens[j].pos_ == 'SCONJ'
+                    and all(tokens[k].pos_ not in ('VERB', 'AUX')
+                            for k in range(j + 1, i))
+                    for j in range(i))
+                nv = nearest_verb(i)
+                if in_sub and nv is not None:
+                    tok.dep_, tok.head = 'advcl', nv
+                else:
+                    tok.dep_, tok.head = 'conj', root
+            else:
+                nv = nearest_verb(i)
+                tok.dep_, tok.head = 'aux', nv if nv is not None else root
         elif tok.pos_ == 'ADV':
-            tok.dep_, tok.head = 'advmod', root
+            nv = nearest_verb(i)
+            tok.dep_, tok.head = 'advmod', nv if nv is not None else root
+        elif tok.pos_ == 'CCONJ':
+            if 1 <= i < n - 1 and tokens[i - 1].pos_ == 'ADJ' \
+                    and tokens[i + 1].pos_ == 'ADJ':
+                tok.dep_, tok.head = 'cc', tokens[i - 1]  # "clean *and* empty"
+            else:
+                head = nearest_content_left(i)
+                tok.dep_, tok.head = 'cc', head if head is not None else root
+        elif tok.pos_ == 'SCONJ':
+            ch = clause_head_after(i)
+            tok.dep_, tok.head = 'mark', ch if ch is not None else root
+        elif tok.pos_ == 'PART':
+            if w in ("n't", 'not'):
+                nv = nearest_verb(i)
+                tok.dep_, tok.head = 'neg', nv if nv is not None else root
+            elif w == 'to' and i + 1 < n and tokens[i + 1].pos_ == 'VERB':
+                tok.dep_, tok.head = 'aux', tokens[i + 1]   # infinitival to
+            elif w == "'s" and nearest_noun_head_left(i) is not None:
+                tok.dep_, tok.head = 'case', nearest_noun_head_left(i)
+            else:
+                tok.dep_, tok.head = 'dep', root
         elif tok.pos_ == 'PUNCT':
             tok.dep_, tok.head = 'punct', root
         else:
@@ -332,6 +603,14 @@ def _fallback_nlp(text: str) -> Doc:
         if prev_ok and (nxt is None or
                         nxt.pos_ not in ('NOUN', 'PROPN', 'ADJ', 'NUM')):
             tok.pos_ = 'NOUN'
+    # context pass: ADJ/NOUN-ambiguous words are adjectives only when
+    # attributive ("a baby elephant"); as a phrase head they are nouns
+    # ("her baby looking at the camera")
+    for i, tok in enumerate(tokens):
+        if tok.pos_ == 'ADJ' and tok.text.lower() in _ADJ_NOUN_AMBIG:
+            nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+            if nxt is None or nxt.pos_ not in ('NOUN', 'PROPN', 'ADJ', 'NUM'):
+                tok.pos_ = 'NOUN'
     doc = Doc(text, tokens)
     _parse(tokens)
     return doc

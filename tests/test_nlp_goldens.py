@@ -8,9 +8,11 @@ tests quantify it against 100 hand-curated COCO-style captions tagged with
 UD v2 / spaCy conventions (``tests/fixtures/nlp_goldens.json``) and pin the
 measured agreement as a regression floor.
 
-Measured at round 3: POS agreement ~0.97 token-level (printed by
-``test_pos_agreement``); the floor below is set with headroom so incidental
-vocab additions don't flap the suite.
+Measured at round 3 (after the spaCy-convention parser upgrade): POS
+agreement 0.996 token-level, UAS/LAS 1.00 over the 34 dependency-annotated
+captions (printed by ``test_pos_agreement``/``test_dependency_attachment``);
+the floors below are set with headroom so incidental vocab additions don't
+flap the suite.
 """
 
 import json
@@ -27,6 +29,11 @@ FIXTURE = Path(__file__).parent / 'fixtures' / 'nlp_goldens.json'
 POS_FLOOR = 0.93
 ADJ_RECALL_FLOOR = 0.90
 NOUN_PRECISION_FLOOR = 0.90
+# Dependency attachment over the 34 hand-annotated captions (spaCy
+# en_core_web_md / UD-v2 conventions, pass-subtypes collapsed to their base
+# labels).  Measured 0.99 at round 3; floors leave headroom for vocab churn.
+UAS_FLOOR = 0.95
+LAS_FLOOR = 0.93
 
 
 @pytest.fixture(scope='module')
@@ -137,15 +144,70 @@ def test_contraction_tokenization():
     assert toks == ['the', 'dog', "'s", 'bone', 'is', "n't", 'here']
 
 
+def test_dependency_attachment(goldens):
+    """UAS/LAS against the hand-annotated subset (heads/deps fields).  The
+    reference feeds spaCy parses into ``dependency_relations``
+    (``daam/heatmap.py:133-141``) and the demo's displaCy panel; this pins
+    the fallback parser's agreement with those conventions."""
+    uas = las = tot = 0
+    worst = []
+    for entry in goldens:
+        if 'heads' not in entry:
+            continue
+        doc = cached_nlp(entry['text'])
+        assert len(doc) == len(entry['heads']), entry['text']
+        for t, h, d in zip(doc, entry['heads'], entry['deps']):
+            tot += 1
+            ok = t.head.i == h
+            uas += ok
+            las += ok and t.dep_ == d
+            if not (ok and t.dep_ == d):
+                worst.append((entry['text'], t.text, t.dep_, t.head.text, d,
+                              doc[h].text))
+    print(f'\nUAS {uas}/{tot} = {uas / tot:.4f}   '
+          f'LAS {las}/{tot} = {las / tot:.4f}')
+    for text, tok, dep, head, want_d, want_h in worst[:20]:
+        print(f'  {tok!r}: got {dep}->{head}, want {want_d}->{want_h}'
+              f'  ({text!r})')
+    assert uas / tot >= UAS_FLOOR
+    assert las / tot >= LAS_FLOOR
+
+
 def test_parse_structure_simple_np():
-    """det/amod/compound attach to the following noun; gerund heads as ROOT
-    fallback semantics stay intact (used by dependency_relations,
-    reference ``daam/heatmap.py:133-141``)."""
+    """spaCy-convention structure (used by dependency_relations, reference
+    ``daam/heatmap.py:133-141``): an NP fragment roots at the head noun with
+    the bare participle as ``acl``; det/amod/compound attach to the noun-run
+    head; the participle governs its object (``dobj``)."""
     doc = cached_nlp('a big red dog chasing a tennis ball')
     # positions: 0:a 1:big 2:red 3:dog 4:chasing 5:a 6:tennis 7:ball
     assert doc[0].dep_ == 'det' and doc[0].head.text == 'dog'
     assert doc[1].dep_ == 'amod' and doc[1].head.text == 'dog'
     assert doc[2].dep_ == 'amod' and doc[2].head.text == 'dog'
-    assert doc[4].dep_ == 'ROOT'
+    assert doc[3].dep_ == 'ROOT'
+    assert doc[4].dep_ == 'acl' and doc[4].head.text == 'dog'
     assert doc[5].dep_ == 'det' and doc[5].head.text == 'ball'
     assert doc[6].dep_ == 'compound' and doc[6].head.text == 'ball'
+    assert doc[7].dep_ == 'dobj' and doc[7].head.text == 'chasing'
+
+
+def test_parse_structure_finite_clause():
+    """A finite clause roots at the verb with aux/nsubj/prep/pobj attachments
+    (spaCy en_core_web_md conventions)."""
+    doc = cached_nlp('a cat is sitting on the mat')
+    # positions: 0:a 1:cat 2:is 3:sitting 4:on 5:the 6:mat
+    assert doc[3].dep_ == 'ROOT'
+    assert doc[1].dep_ == 'nsubj' and doc[1].head.text == 'sitting'
+    assert doc[2].dep_ == 'aux' and doc[2].head.text == 'sitting'
+    assert doc[4].dep_ == 'prep' and doc[4].head.text == 'sitting'
+    assert doc[6].dep_ == 'pobj' and doc[6].head.text == 'on'
+
+
+def test_parse_structure_coordination():
+    """cc/conj chains (the cconj CLI action and notebook-2 cohyponym pairs
+    are built on coordinated NPs)."""
+    doc = cached_nlp('a zebra and a giraffe standing in a field')
+    # positions: 0:a 1:zebra 2:and 3:a 4:giraffe 5:standing 6:in 7:a 8:field
+    assert doc[1].dep_ == 'ROOT'
+    assert doc[2].dep_ == 'cc' and doc[2].head.text == 'zebra'
+    assert doc[4].dep_ == 'conj' and doc[4].head.text == 'zebra'
+    assert doc[5].dep_ == 'acl' and doc[5].head.text == 'giraffe'

@@ -63,6 +63,17 @@ def test_notebook_1_visuosyntactic_corpus_study(tmp_path, monkeypatch):
     amod = next(r for r in table if r['relation'] == 'amod')
     assert amod['n'] >= 20              # >=1 adjective per caption
 
+    # the paper-presentation table (reference notebook 1 final cells):
+    # top-10 relations by count, percentage scale, sorted by the
+    # head/dependent asymmetry delta
+    paper = ns['paper_table']
+    assert 0 < len(paper) <= 10
+    deltas = [r['delta'] for r in paper]
+    assert deltas == sorted(deltas)
+    for r in paper:
+        assert 0.0 <= r['mIoU'] <= 100.0
+        assert abs(r['delta'] - abs(r['mIoH'] - r['mIoD'])) < 0.02
+
 
 def test_notebook_2_visuosemantic(tmp_path, monkeypatch):
     """Adjectival-entanglement transplant triplet + cohyponym overlap run."""
