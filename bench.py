@@ -86,8 +86,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from daam_tpu.pipeline.sd import StableDiffusionPipeline
-    from daam_tpu.utils import enable_persistent_compilation_cache, set_seed
+    from daam_tpu.utils import (enable_persistent_compilation_cache,
+                                ensure_hugepages, set_seed)
     enable_persistent_compilation_cache()
+    ensure_hugepages()
 
     dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
     pipe = StableDiffusionPipeline.from_pretrained(

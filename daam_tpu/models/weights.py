@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .clip import CLIPTextEncoder
-from .configs import PipelineConfig, get_pipeline_config
+from .configs import MODEL_PRESETS, PipelineConfig, get_pipeline_config
 from .unet import UNet2DConditionModel
 from .vae import AutoencoderKL
 
@@ -225,8 +225,33 @@ def _assign(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
     node[path[-1]] = jnp.asarray(value)
 
 
-def _convert_clip(sd: Dict[str, np.ndarray]) -> Dict:
-    """HF CLIPTextModel(WithProjection) state dict -> our CLIPTextEncoder."""
+class _ConsumingDict(dict):
+    """Read-once state dict: each tensor is dropped as soon as it is
+    converted, so conversion peaks at ~1x the checkpoint size instead of 2x
+    (SDXL fp32 is ~10 GB — the difference between fitting comfortably and
+    thrashing on a small host).  Membership tests don't consume."""
+
+    def __getitem__(self, k):
+        v = super().__getitem__(k)
+        del self[k]
+        return v
+
+
+def _take_ownership(sd: Dict[str, np.ndarray], consume: bool):
+    """With ``consume=True``, move the entries out of the caller's dict (it
+    is emptied) into a read-once view; the caller must not reuse them."""
+    if not consume:
+        return sd
+    moved = _ConsumingDict(sd)
+    sd.clear()
+    return moved
+
+
+def _convert_clip(sd: Dict[str, np.ndarray], consume: bool = False) -> Dict:
+    """HF CLIPTextModel(WithProjection) state dict -> our CLIPTextEncoder.
+
+    ``consume=True``: see ``_convert_unet``."""
+    sd = _take_ownership(sd, consume)
     out: Dict = {}
     pre = 'text_model.'
     _assign(out, ('token_embedding', 'embedding'),
@@ -315,13 +340,19 @@ def _convert_transformer(sd, tp, ours_prefix, out, use_linear, depth):
     _assign(out, ours_prefix + ('proj_out', 'bias'), sd[tp + 'proj_out.bias'])
 
 
-def _convert_unet(sd: Dict[str, np.ndarray], config) -> Dict:
+def _convert_unet(sd: Dict[str, np.ndarray], config, consume: bool = False
+                  ) -> Dict:
     """diffusers UNet2DConditionModel state dict -> our NHWC UNet pytree.
 
     Our GEGLU ``FeedForward`` splits the fused projection as (value, gate);
     diffusers' GEGLU does ``hidden, gate = proj(x).chunk(2)`` with the same
     ordering, so the fused kernels map across unchanged.
+
+    ``consume=True`` empties the caller's dict and frees each source tensor
+    as it converts (peak memory ~1x checkpoint size instead of 2x — SDXL
+    fp32 is ~10 GB).
     """
+    sd = _take_ownership(sd, consume)
     out: Dict = {}
     cfg = config
     use_linear = cfg.use_linear_projection
@@ -464,8 +495,121 @@ def _convert_vae(sd: Dict[str, np.ndarray], config) -> Dict:
     return out
 
 
-def _detect_config(path: Path) -> PipelineConfig:
+def _clip_config_from_json(cfg: dict) -> 'CLIPTextConfig':
+    from .configs import CLIPTextConfig
+    with_proj = any('WithProjection' in a
+                    for a in (cfg.get('architectures') or []))
+    return CLIPTextConfig(
+        vocab_size=cfg.get('vocab_size', 49408),
+        hidden_size=cfg.get('hidden_size', 768),
+        intermediate_size=cfg.get('intermediate_size', 3072),
+        num_hidden_layers=cfg.get('num_hidden_layers', 12),
+        num_attention_heads=cfg.get('num_attention_heads', 12),
+        max_position_embeddings=cfg.get('max_position_embeddings', 77),
+        hidden_act=cfg.get('hidden_act', 'quick_gelu'),
+        layer_norm_eps=cfg.get('layer_norm_eps', 1e-5),
+        projection_dim=cfg.get('projection_dim') if with_proj else None)
+
+
+def _config_from_json(path: Path) -> PipelineConfig:
+    """Derive a :class:`PipelineConfig` from the checkpoint's own
+    ``config.json`` files, the way diffusers instantiates arbitrary
+    geometries (the reference inherits that via ``from_pretrained``,
+    ``daam/run/generate.py:197-207``).  Checkpoints matching a known preset
+    return the preset object itself (its name and generation defaults)."""
     import json
+    from .configs import CLIPTextConfig, UNetConfig, VAEConfig
+
+    u = json.loads((path / 'unet' / 'config.json').read_text())
+    n = len(u['block_out_channels'])
+    down = tuple('cross' if 'CrossAttn' in t else 'plain'
+                 for t in u['down_block_types'])
+    # diffusers up_block_types is in traversal order (deepest level first);
+    # ours is per resolution level (finest first)
+    up = tuple('cross' if 'CrossAttn' in t else 'plain'
+               for t in reversed(u['up_block_types']))
+    heads = u.get('attention_head_dim', 8)
+    heads = tuple(heads) if isinstance(heads, list) else (heads,) * n
+    tl = u.get('transformer_layers_per_block', 1)
+    tl = tuple(tl) if isinstance(tl, list) else (tl,) * n
+    tl = tuple(t if d == 'cross' else 0 for t, d in zip(tl, down))
+    unet = UNetConfig(
+        sample_size=u.get('sample_size', 64),
+        in_channels=u.get('in_channels', 4),
+        out_channels=u.get('out_channels', 4),
+        block_out_channels=tuple(u['block_out_channels']),
+        down_block_types=down,
+        up_block_types=up,
+        layers_per_block=u.get('layers_per_block', 2),
+        attention_head_dim=heads,
+        transformer_layers_per_block=tl,
+        cross_attention_dim=u.get('cross_attention_dim', 768),
+        use_linear_projection=u.get('use_linear_projection', False),
+        norm_num_groups=u.get('norm_num_groups', 32),
+        freq_shift=u.get('freq_shift', 0),
+        flip_sin_to_cos=u.get('flip_sin_to_cos', True),
+        mid_block_attn='CrossAttn' in (u.get('mid_block_type')
+                                       or 'UNetMidBlock2DCrossAttn'),
+        addition_embed_type=u.get('addition_embed_type'),
+        addition_time_embed_dim=u.get('addition_time_embed_dim', 256),
+        projection_class_embeddings_input_dim=u.get(
+            'projection_class_embeddings_input_dim'))
+
+    text = _clip_config_from_json(
+        json.loads((path / 'text_encoder' / 'config.json').read_text()))
+    text_2 = None
+    if (path / 'text_encoder_2').exists():
+        text_2 = _clip_config_from_json(json.loads(
+            (path / 'text_encoder_2' / 'config.json').read_text()))
+
+    v = json.loads((path / 'vae' / 'config.json').read_text())
+    vae = VAEConfig(
+        in_channels=v.get('in_channels', 3),
+        out_channels=v.get('out_channels', 3),
+        latent_channels=v.get('latent_channels', 4),
+        block_out_channels=tuple(v.get('block_out_channels',
+                                       (128, 256, 512, 512))),
+        layers_per_block=v.get('layers_per_block', 2),
+        norm_num_groups=v.get('norm_num_groups', 32),
+        sample_size=v.get('sample_size', 512),
+        scaling_factor=v.get('scaling_factor', 0.18215))
+
+    prediction_type = 'epsilon'
+    sched = path / 'scheduler' / 'scheduler_config.json'
+    if sched.exists():
+        prediction_type = json.loads(sched.read_text()).get(
+            'prediction_type', 'epsilon')
+
+    def _norm(ucfg):
+        # transformer depth on plain (non-cross) levels is unused by the
+        # model; zero it so preset comparison ignores the convention
+        # difference (presets write 1, diffusers json may write either)
+        from dataclasses import replace
+        return replace(ucfg, transformer_layers_per_block=tuple(
+            t if d == 'cross' else 0
+            for t, d in zip(ucfg.transformer_layers_per_block,
+                            ucfg.down_block_types)))
+
+    for preset_name in MODEL_PRESETS:
+        preset = get_pipeline_config(preset_name)
+        if (_norm(preset.unet) == _norm(unet) and preset.text == text
+                and preset.text_2 == text_2 and preset.vae == vae
+                and preset.prediction_type == prediction_type):
+            return preset
+    return PipelineConfig(name=path.name, text=text, text_2=text_2,
+                          unet=unet, vae=vae,
+                          prediction_type=prediction_type,
+                          is_sdxl=text_2 is not None)
+
+
+def _detect_config(path: Path) -> PipelineConfig:
+    """Config for a local diffusers dir: derived from its json configs when
+    they are all present, else the historical geometry heuristic."""
+    import json
+    try:
+        return _config_from_json(path)
+    except (FileNotFoundError, KeyError):
+        pass
     unet_cfg = json.loads((path / 'unet' / 'config.json').read_text())
     cross_dim = unet_cfg.get('cross_attention_dim', 768)
     sample = unet_cfg.get('sample_size', 64)
@@ -482,15 +626,19 @@ def load_diffusers_checkpoint(path, dtype=jnp.float32
                               ) -> Tuple[PipelineConfig, Dict[str, Any], Any]:
     """Convert a local diffusers model dir into (config, params, tokenizer)."""
     from ..tokenization import default_tokenizer
+    from ..utils import ensure_hugepages
 
+    ensure_hugepages()   # multi-GB first-touch is fault-bound without THP
     path = Path(path)
     config = _detect_config(path)
     params: Dict[str, Any] = {}
-    params['text_encoder'] = _convert_clip(_read_state_dict(path / 'text_encoder'))
+    params['text_encoder'] = _convert_clip(
+        _read_state_dict(path / 'text_encoder'), consume=True)
     if config.is_sdxl:
         params['text_encoder_2'] = _convert_clip(
-            _read_state_dict(path / 'text_encoder_2'))
-    params['unet'] = _convert_unet(_read_state_dict(path / 'unet'), config.unet)
+            _read_state_dict(path / 'text_encoder_2'), consume=True)
+    params['unet'] = _convert_unet(_read_state_dict(path / 'unet'),
+                                   config.unet, consume=True)
     params['vae'] = _convert_vae(_read_state_dict(path / 'vae'), config.vae)
     if dtype != jnp.float32:
         params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)

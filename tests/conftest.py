@@ -20,3 +20,9 @@ jax.config.update('jax_platforms', 'cpu')
 
 import matplotlib
 matplotlib.use('Agg')
+
+# Multi-GB fabrications (full-geometry parity tests) are first-touch
+# page-fault-bound on hosts with a slow 4 KB fault path; THP=always is an
+# 85x difference there (no-op without root, see utils.ensure_hugepages).
+from daam_tpu.utils import ensure_hugepages
+ensure_hugepages()

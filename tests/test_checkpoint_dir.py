@@ -1,0 +1,239 @@
+"""End-to-end loading of a local diffusers-format checkpoint DIRECTORY.
+
+The reference loads any local/hub checkpoint through diffusers
+``from_pretrained`` (``daam/run/generate.py:197-207``); our equivalent is
+``load_diffusers_checkpoint``, which until round 3 was only reachable with
+real-geometry presets (``_detect_config`` keyed on 4 known shapes).  Config
+derivation from the checkpoint's own ``config.json`` files
+(``weights._config_from_json``) makes arbitrary geometries loadable; these
+tests fabricate a complete tiny checkpoint dir on disk and run the full
+``from_pretrained -> trace -> generate -> heat map`` path over it.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+from daam_tpu import set_seed, trace  # noqa: E402
+from daam_tpu.models.configs import get_pipeline_config  # noqa: E402
+from daam_tpu.models.weights import _config_from_json, _detect_config  # noqa: E402
+from daam_tpu.pipeline.sd import StableDiffusionPipeline  # noqa: E402
+
+from test_weights_conversion import (_TTinyVAEDecoder,  # noqa: E402
+                                     _fabricate_unet_checkpoint,
+                                     fast_normal_fill)
+
+
+def _unet_json(u):
+    return {
+        'sample_size': u.sample_size, 'in_channels': u.in_channels,
+        'out_channels': u.out_channels,
+        'block_out_channels': list(u.block_out_channels),
+        'down_block_types': ['CrossAttnDownBlock2D' if t == 'cross'
+                             else 'DownBlock2D' for t in u.down_block_types],
+        # diffusers order: deepest level first
+        'up_block_types': ['CrossAttnUpBlock2D' if t == 'cross'
+                           else 'UpBlock2D'
+                           for t in reversed(u.up_block_types)],
+        'layers_per_block': u.layers_per_block,
+        'attention_head_dim': list(u.attention_head_dim),
+        'transformer_layers_per_block': [max(t, 1) for t in
+                                         u.transformer_layers_per_block],
+        'cross_attention_dim': u.cross_attention_dim,
+        'use_linear_projection': u.use_linear_projection,
+        'norm_num_groups': u.norm_num_groups,
+        'freq_shift': u.freq_shift, 'flip_sin_to_cos': u.flip_sin_to_cos,
+        'mid_block_type': ('UNetMidBlock2DCrossAttn' if u.mid_block_attn
+                           else 'UNetMidBlock2D'),
+        'addition_embed_type': u.addition_embed_type,
+        'addition_time_embed_dim': u.addition_time_embed_dim,
+        'projection_class_embeddings_input_dim':
+            u.projection_class_embeddings_input_dim,
+    }
+
+
+def _clip_json(t):
+    return {
+        'architectures': ['CLIPTextModelWithProjection' if t.projection_dim
+                          else 'CLIPTextModel'],
+        'vocab_size': t.vocab_size, 'hidden_size': t.hidden_size,
+        'intermediate_size': t.intermediate_size,
+        'num_hidden_layers': t.num_hidden_layers,
+        'num_attention_heads': t.num_attention_heads,
+        'max_position_embeddings': t.max_position_embeddings,
+        'hidden_act': t.hidden_act, 'layer_norm_eps': t.layer_norm_eps,
+        **({'projection_dim': t.projection_dim} if t.projection_dim else {}),
+    }
+
+
+def _vae_json(v):
+    return {
+        'in_channels': v.in_channels, 'out_channels': v.out_channels,
+        'latent_channels': v.latent_channels,
+        'block_out_channels': list(v.block_out_channels),
+        'layers_per_block': v.layers_per_block,
+        'norm_num_groups': v.norm_num_groups,
+        'sample_size': v.sample_size, 'scaling_factor': v.scaling_factor,
+    }
+
+
+def _fabricate_clip_state_dict(t):
+    """HF-format CLIPTextModel tensors for a CLIPTextConfig."""
+    sd = {}
+    off = [0]
+
+    def add(name, *shape, loc=0.0):
+        sd[name] = torch.from_numpy(fast_normal_fill(shape, off[0], loc=loc))
+        off[0] += int(np.prod(shape))
+
+    pre = 'text_model.'
+    add(pre + 'embeddings.token_embedding.weight', t.vocab_size, t.hidden_size)
+    add(pre + 'embeddings.position_embedding.weight',
+        t.max_position_embeddings, t.hidden_size)
+    for i in range(t.num_hidden_layers):
+        lp = f'{pre}encoder.layers.{i}.'
+        for norm in ('layer_norm1', 'layer_norm2'):
+            add(lp + norm + '.weight', t.hidden_size, loc=1.0)
+            add(lp + norm + '.bias', t.hidden_size)
+        for proj in ('q_proj', 'k_proj', 'v_proj', 'out_proj'):
+            add(lp + 'self_attn.' + proj + '.weight',
+                t.hidden_size, t.hidden_size)
+            add(lp + 'self_attn.' + proj + '.bias', t.hidden_size)
+        add(lp + 'mlp.fc1.weight', t.intermediate_size, t.hidden_size)
+        add(lp + 'mlp.fc1.bias', t.intermediate_size)
+        add(lp + 'mlp.fc2.weight', t.hidden_size, t.intermediate_size)
+        add(lp + 'mlp.fc2.bias', t.hidden_size)
+    add(pre + 'final_layer_norm.weight', t.hidden_size, loc=1.0)
+    add(pre + 'final_layer_norm.bias', t.hidden_size)
+    if t.projection_dim:
+        add('text_projection.weight', t.projection_dim, t.hidden_size)
+    return sd
+
+
+def write_diffusers_dir(root, pcfg):
+    """Write a complete diffusers-format checkpoint dir for a PipelineConfig
+    (torch ``.bin`` weights + per-module ``config.json``)."""
+    root.mkdir(parents=True, exist_ok=True)
+
+    unet_dir = root / 'unet'
+    unet_dir.mkdir()
+    (unet_dir / 'config.json').write_text(json.dumps(_unet_json(pcfg.unet)))
+    usd = {k: torch.from_numpy(v)
+           for k, v in _fabricate_unet_checkpoint(pcfg.unet).items()}
+    torch.save(usd, unet_dir / 'diffusion_pytorch_model.bin')
+
+    for name, tcfg in [('text_encoder', pcfg.text),
+                       ('text_encoder_2', pcfg.text_2)]:
+        if tcfg is None:
+            continue
+        tdir = root / name
+        tdir.mkdir()
+        (tdir / 'config.json').write_text(json.dumps(_clip_json(tcfg)))
+        torch.save(_fabricate_clip_state_dict(tcfg),
+                   tdir / 'pytorch_model.bin')
+
+    vae_dir = root / 'vae'
+    vae_dir.mkdir()
+    (vae_dir / 'config.json').write_text(json.dumps(_vae_json(pcfg.vae)))
+    tvae = _TTinyVAEDecoder(pcfg.vae)
+    torch.manual_seed(3)
+    for p in tvae.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn_like(p) * 0.05)
+    torch.save(tvae.state_dict(), vae_dir / 'diffusion_pytorch_model.bin')
+
+    sched_dir = root / 'scheduler'
+    sched_dir.mkdir()
+    (sched_dir / 'scheduler_config.json').write_text(
+        json.dumps({'prediction_type': pcfg.prediction_type}))
+    return root
+
+
+def test_config_json_roundtrip_matches_preset(tmp_path):
+    """A dir whose json configs describe the tiny preset resolves to the
+    preset object itself (name, generation defaults)."""
+    pcfg = get_pipeline_config('tiny')
+    d = write_diffusers_dir(tmp_path / 'ckpt', pcfg)
+    got = _config_from_json(d)
+    assert got is get_pipeline_config('tiny')
+    assert _detect_config(d).name == 'tiny'
+
+
+def test_config_json_real_geometries_land_on_presets(tmp_path):
+    """Real-geometry json configs (SD2.1, SDXL incl. dual encoder and
+    v-prediction large) map onto their presets without any weights."""
+    for name in ('v1', 'v2-1-base', 'v2-1-large', 'xl-base-1.0'):
+        pcfg = get_pipeline_config(name)
+        root = tmp_path / name
+        root.mkdir()
+        for sub, payload in [('unet', _unet_json(pcfg.unet)),
+                             ('text_encoder', _clip_json(pcfg.text)),
+                             ('vae', _vae_json(pcfg.vae))]:
+            (root / sub).mkdir()
+            (root / sub / 'config.json').write_text(json.dumps(payload))
+        if pcfg.text_2 is not None:
+            (root / 'text_encoder_2').mkdir()
+            (root / 'text_encoder_2' / 'config.json').write_text(
+                json.dumps(_clip_json(pcfg.text_2)))
+        (root / 'scheduler').mkdir()
+        (root / 'scheduler' / 'scheduler_config.json').write_text(
+            json.dumps({'prediction_type': pcfg.prediction_type}))
+        got = _config_from_json(root)
+        # SD 2.0 and 2.1 share an architecture (they differ only in
+        # weights), so json-derived configs resolve to the first
+        # architecture-equivalent preset
+        equivalent = {'v2-1-base': ('v2-base', 'v2-1-base'),
+                      'v2-1-large': ('v2-large', 'v2-1-large')}
+        assert got.name in equivalent.get(name, (name,)), (name, got.name)
+
+
+def test_config_json_off_preset_geometry(tmp_path):
+    """A geometry matching no preset still derives a working config."""
+    from dataclasses import replace
+    base = get_pipeline_config('tiny')
+    pcfg = replace(base, name='custom',
+                   unet=replace(base.unet, block_out_channels=(32, 48),
+                                attention_head_dim=(2, 3)))
+    d = write_diffusers_dir(tmp_path / 'ckpt', pcfg)
+    got = _config_from_json(d)
+    assert got.name == 'ckpt'            # named after the directory
+    assert got.unet.block_out_channels == (32, 48)
+    assert got.unet.attention_head_dim == (2, 3)
+    assert not got.is_sdxl
+
+
+def test_from_pretrained_dir_end_to_end(tmp_path):
+    """The full path: fabricated checkpoint dir -> from_pretrained ->
+    traced generation -> word heat map (the reference's quickgen flow on a
+    local dir, ``daam/run/generate.py:197-237``)."""
+    d = write_diffusers_dir(tmp_path / 'ckpt', get_pipeline_config('tiny'))
+    pipe = StableDiffusionPipeline.from_pretrained(str(d), scheduler='ddim')
+    assert pipe.config.name == 'tiny'
+
+    with trace(pipe) as tc:
+        out = pipe('a dog runs', num_inference_steps=2,
+                   generator=set_seed(0))
+        hm = tc.compute_global_heat_map()
+        wm = np.asarray(hm.compute_word_heat_map('dog').value)
+    assert out.images[0].size == (pipe.config.image_size,) * 2
+    assert np.isfinite(wm).all() and wm.max() > 0
+
+    # determinism across a reload (conversion is pure)
+    pipe2 = StableDiffusionPipeline.from_pretrained(str(d), scheduler='ddim')
+    out2 = pipe2('a dog runs', num_inference_steps=2, generator=set_seed(0))
+    np.testing.assert_array_equal(np.asarray(out.images[0]),
+                                  np.asarray(out2.images[0]))
+
+
+def test_from_pretrained_dir_consume_leaves_no_reference(tmp_path):
+    """consume=True conversions must not break a second load of the same
+    dir (state dicts are re-read from disk each time)."""
+    d = write_diffusers_dir(tmp_path / 'ckpt', get_pipeline_config('tiny'))
+    p1 = StableDiffusionPipeline.from_pretrained(str(d), scheduler='ddim')
+    p2 = StableDiffusionPipeline.from_pretrained(str(d), scheduler='ddim')
+    a = p1('a cat', num_inference_steps=1, generator=set_seed(1)).images[0]
+    b = p2('a cat', num_inference_steps=1, generator=set_seed(1)).images[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

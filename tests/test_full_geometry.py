@@ -36,9 +36,15 @@ from daam_tpu.models.weights import (_convert_clip, _convert_unet,  # noqa: E402
                                      _convert_vae)
 
 from test_weights_conversion import (_TTinyUNet, _TTinyVAEDecoder,  # noqa: E402
-                                     _fabricate_unet_checkpoint)
+                                     _fabricate_unet_checkpoint,
+                                     fast_normal_fill)
 
 FULL_SPATIAL = os.environ.get('DAAM_FULL_SPATIAL') == '1'
+# The heaviest fabrications (SDXL 2.6B UNet, OpenCLIP-H/bigG) cost tens of
+# minutes on this 1-core host even at 16x16 spatial; they run via
+# scripts/full_geometry_parity.sh.  Default CI keeps real-geometry coverage
+# through the SD2.1 UNet capture-parity, CLIP-L, and VAE tests below.
+FULL_GEOMETRY = FULL_SPATIAL or os.environ.get('DAAM_FULL_GEOMETRY') == '1'
 
 
 def _build_torch_unet(cfg, sd):
@@ -90,8 +96,13 @@ def _unet_parity(preset, spatial, with_capture=False):
                                           for k, v in added_np.items()})
     theirs = theirs.numpy().transpose(0, 2, 3, 1)
 
-    params = _convert_unet(sd, cfg)
-    del sd, tmodel
+    # the torch model shares the fabricated numpy buffers (from_numpy +
+    # assign=True): drop it first, then convert consuming sd so peak RSS
+    # stays ~1x the checkpoint (2x trips memory ballooning on this host)
+    del tmodel
+    gc.collect()
+    params = _convert_unet(sd, cfg, consume=True)
+    del sd
     gc.collect()
 
     unet = UNet2DConditionModel(cfg)
@@ -105,6 +116,9 @@ def _unet_parity(preset, spatial, with_capture=False):
     return cfg, store, probs
 
 
+@pytest.mark.skipif(not FULL_GEOMETRY,
+                    reason='2.6B fabrication: set DAAM_FULL_GEOMETRY=1 '
+                           '(scripts/full_geometry_parity.sh)')
 def test_unet_full_channel_geometry_parity_sdxl():
     """Converted Flax UNet == torch at the real SDXL channel geometry
     (2.6B params; dual-context 2048-dim, depth-(2,10) transformers,
@@ -166,6 +180,9 @@ def test_clip_full_geometry_parity(name):
     """Converted text encoders == transformers CLIPTextModel(WithProjection)
     at the real geometry of all three encoders the reference's model registry
     uses (``daam/run/generate.py:23-30``)."""
+    if name != 'clip-l' and not FULL_GEOMETRY:
+        pytest.skip('354M/695M fabrication: set DAAM_FULL_GEOMETRY=1 '
+                    '(scripts/full_geometry_parity.sh)')
     transformers = pytest.importorskip('transformers')
     hidden, inter, layers, heads, act, proj = _CLIP_GEOMETRIES[name]
 
@@ -180,15 +197,13 @@ def test_clip_full_geometry_parity(name):
     with torch.device('meta'):
         model = cls(hf_cfg)
 
-    rng = np.random.default_rng(7)
     sd = {}
+    offset = 0
     for k, v in model.state_dict().items():
         shape = tuple(v.shape)
-        if k.endswith('.weight') and v.ndim == 1:  # norm scales near 1
-            arr = 1.0 + 0.02 * rng.standard_normal(shape).astype(np.float32)
-        else:
-            arr = 0.02 * rng.standard_normal(shape).astype(np.float32)
-        sd[k] = torch.from_numpy(arr)
+        loc = 1.0 if k.endswith('.weight') and v.ndim == 1 else 0.0
+        sd[k] = torch.from_numpy(fast_normal_fill(shape, offset, loc=loc))
+        offset += int(np.prod(shape))
     model.load_state_dict(sd, strict=True, assign=True)
     # position_ids is a non-persistent buffer: not in the state dict, so it
     # stays on the meta device after assign — materialize it explicitly
@@ -235,15 +250,13 @@ def test_vae_full_geometry_decoder_parity():
     cfg = get_pipeline_config('v2-1-base').vae
     with torch.device('meta'):
         tmodel = _TTinyVAEDecoder(cfg)
-    rng = np.random.default_rng(3)
     sd = {}
+    offset = 0
     for k, v in tmodel.state_dict().items():
         shape = tuple(v.shape)
-        if k.endswith('.weight') and v.ndim == 1:
-            arr = 1.0 + 0.02 * rng.standard_normal(shape).astype(np.float32)
-        else:
-            arr = 0.02 * rng.standard_normal(shape).astype(np.float32)
-        sd[k] = torch.from_numpy(arr)
+        loc = 1.0 if k.endswith('.weight') and v.ndim == 1 else 0.0
+        sd[k] = torch.from_numpy(fast_normal_fill(shape, offset, loc=loc))
+        offset += int(np.prod(shape))
     tmodel.load_state_dict(sd, strict=True, assign=True)
     tmodel.eval()
 
