@@ -228,6 +228,21 @@ def test_from_pretrained_dir_end_to_end(tmp_path):
                                   np.asarray(out2.images[0]))
 
 
+def test_from_pretrained_dir_sdxl_dual_encoder(tmp_path):
+    """SDXL layout: text_encoder_2 (with projection) + add_embedding
+    text_time conditioning, loaded from an on-disk dir and traced."""
+    pcfg = get_pipeline_config('tiny-xl')
+    d = write_diffusers_dir(tmp_path / 'ckpt', pcfg)
+    pipe = StableDiffusionPipeline.from_pretrained(str(d), scheduler='ddim')
+    assert pipe.config.name == 'tiny-xl' and pipe.config.is_sdxl
+
+    with trace(pipe) as tc:
+        pipe('a cat sits', num_inference_steps=1, generator=set_seed(0))
+        wm = np.asarray(tc.compute_global_heat_map()
+                        .compute_word_heat_map('cat').value)
+    assert np.isfinite(wm).all() and wm.max() > 0
+
+
 def test_from_pretrained_dir_consume_leaves_no_reference(tmp_path):
     """consume=True conversions must not break a second load of the same
     dir (state dicts are re-read from disk each time)."""
