@@ -518,7 +518,7 @@ def _config_from_json(path: Path) -> PipelineConfig:
     ``daam/run/generate.py:197-207``).  Checkpoints matching a known preset
     return the preset object itself (its name and generation defaults)."""
     import json
-    from .configs import CLIPTextConfig, UNetConfig, VAEConfig
+    from .configs import UNetConfig, VAEConfig
 
     u = json.loads((path / 'unet' / 'config.json').read_text())
     n = len(u['block_out_channels'])
@@ -590,7 +590,13 @@ def _config_from_json(path: Path) -> PipelineConfig:
             for t, d in zip(ucfg.transformer_layers_per_block,
                             ucfg.down_block_types)))
 
-    for preset_name in MODEL_PRESETS:
+    # SD 2.1 and 2.0 are architecture-identical (they differ only in
+    # weights); prefer the 2.1 presets so the resolved name matches what
+    # the historical heuristic reported for these geometries
+    preferred = ('v2-1-base', 'v2-1-large')
+    candidates = [*preferred,
+                  *(nm for nm in MODEL_PRESETS if nm not in preferred)]
+    for preset_name in candidates:
         preset = get_pipeline_config(preset_name)
         if (_norm(preset.unet) == _norm(unet) and preset.text == text
                 and preset.text_2 == text_2 and preset.vae == vae
@@ -608,7 +614,10 @@ def _detect_config(path: Path) -> PipelineConfig:
     import json
     try:
         return _config_from_json(path)
-    except (FileNotFoundError, KeyError):
+    except (OSError, KeyError, ValueError, TypeError):
+        # missing or malformed per-module config.json (JSONDecodeError is a
+        # ValueError): fall back to the geometry heuristic that only needs
+        # the unet config — dirs that loaded before keep loading
         pass
     unet_cfg = json.loads((path / 'unet' / 'config.json').read_text())
     cross_dim = unet_cfg.get('cross_attention_dim', 768)

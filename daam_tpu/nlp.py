@@ -310,8 +310,8 @@ def _parse(tokens: List[Token]) -> None:
             return False                       # bare participle ("man riding")
         return True
 
-    finite = [i for i in range(n) if _is_finite(i)]
-    root: Optional[Token] = tokens[finite[0]] if finite else None
+    root: Optional[Token] = next(
+        (tokens[i] for i in range(n) if _is_finite(i)), None)
     if root is None:                           # "there is a cat on a mat"
         root = next((tokens[i] for i in range(n)
                      if tokens[i].pos_ == 'AUX'
@@ -514,8 +514,12 @@ def _parse(tokens: List[Token]) -> None:
             elif _is_finite(i):
                 tok.dep_, tok.head = 'conj', root   # "a dog runs and jumps"
             else:
-                nv = nearest_verb(i)
-                if nv is None or nv is tok:
+                # only look LEFT for the xcomp governor: a rightward pick can
+                # form a 2-cycle with a later verb that attaches back here
+                # ("smiling while eating" — code-review r3)
+                nv = next((tokens[j] for j in range(i - 1, -1, -1)
+                           if tokens[j].pos_ == 'VERB'), None)
+                if nv is None:
                     tok.dep_, tok.head = 'xcomp', root
                 elif i > 0 and tokens[i - 1].text.lower() == 'to' \
                         and any(run_head[k] is not None
@@ -568,6 +572,18 @@ def _parse(tokens: List[Token]) -> None:
             tok.dep_, tok.head = 'punct', root
         else:
             tok.dep_, tok.head = 'dep', root
+
+    # tree invariant (spaCy guarantee users rely on, e.g. the
+    # walk-to-ROOT idiom): every token must reach ROOT — break any residual
+    # head cycle by re-rooting its entry point
+    for tok in tokens:
+        seen = set()
+        t = tok
+        while t.dep_ != 'ROOT' and t.i not in seen:
+            seen.add(t.i)
+            t = t.head
+        if t.dep_ != 'ROOT':
+            t.dep_, t.head = 'dep', root
 
 
 def _fallback_nlp(text: str) -> Doc:

@@ -101,18 +101,38 @@ def ensure_hugepages() -> None:
     the image; this helper makes scratch environments behave.  Silently a
     no-op without root or on non-Linux; set ``DAAM_NO_THP=1`` to skip.
     No reference analog (the reference never manages memory).
+
+    The previous mode is restored at interpreter exit (atexit), and the
+    change is logged — this flips a system-wide kernel policy, which a host
+    deliberately configured for madvise/never workloads should not keep.
     """
     if os.environ.get('DAAM_NO_THP') == '1':
         return
     path = '/sys/kernel/mm/transparent_hugepage/enabled'
     try:
         with open(path) as f:
-            if '[always]' in f.read():
-                return
+            modes = f.read()
+        if '[always]' in modes:
+            return
+        prev = next((m.strip('[]') for m in modes.split() if m.startswith('[')),
+                    'madvise')
         with open(path, 'w') as f:
             f.write('always')
     except OSError:
-        pass
+        return
+    import atexit
+    import logging
+    logging.getLogger(__name__).info(
+        'transparent_hugepage/enabled: %s -> always (restored at exit; '
+        'set DAAM_NO_THP=1 to skip)', prev)
+
+    def _restore(mode=prev):
+        try:
+            with open(path, 'w') as f:
+                f.write(mode)
+        except OSError:
+            pass
+    atexit.register(_restore)
 
 
 def cache_dir() -> Path:

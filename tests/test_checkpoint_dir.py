@@ -182,12 +182,9 @@ def test_config_json_real_geometries_land_on_presets(tmp_path):
         (root / 'scheduler' / 'scheduler_config.json').write_text(
             json.dumps({'prediction_type': pcfg.prediction_type}))
         got = _config_from_json(root)
-        # SD 2.0 and 2.1 share an architecture (they differ only in
-        # weights), so json-derived configs resolve to the first
-        # architecture-equivalent preset
-        equivalent = {'v2-1-base': ('v2-base', 'v2-1-base'),
-                      'v2-1-large': ('v2-large', 'v2-1-large')}
-        assert got.name in equivalent.get(name, (name,)), (name, got.name)
+        # SD 2.0 and 2.1 share an architecture; the 2.1 presets are
+        # preferred so these geometries keep their historical names
+        assert got.name == name, (name, got.name)
 
 
 def test_config_json_off_preset_geometry(tmp_path):

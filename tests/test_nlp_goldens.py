@@ -202,6 +202,28 @@ def test_parse_structure_finite_clause():
     assert doc[6].dep_ == 'pobj' and doc[6].head.text == 'on'
 
 
+def test_parse_is_always_a_tree():
+    """Every token must reach ROOT (spaCy's tree invariant; the standard
+    walk-to-root idiom must terminate) — code-review r3 found verb-pair
+    cycles like "smiling while eating"."""
+    cases = [
+        'smiling while eating ice cream',
+        'eating and running in the park',
+        'a little girl smiling while eating ice cream',
+        'a dog',
+        '',
+    ]
+    for text in cases:
+        doc = cached_nlp(text)
+        for tok in doc:
+            seen = set()
+            t = tok
+            while t.dep_ != 'ROOT':
+                assert t.i not in seen, f'head cycle in {text!r} at {tok}'
+                seen.add(t.i)
+                t = t.head
+
+
 def test_parse_structure_coordination():
     """cc/conj chains (the cconj CLI action and notebook-2 cohyponym pairs
     are built on coordinated NPs)."""

@@ -88,8 +88,11 @@ def fast_normal_fill(shape, offset, scale=0.02, loc=0.0):
     so a wrong transpose/permutation in the converter cannot alias — and
     well-scaled; it never compares against stored goldens (torch and Flax both
     consume the *same* fabricated dict).  A 2^24-entry N(0,1) pool is drawn
-    once per process and each tensor takes the next (wrapping) window, keeping
-    every realistic weight matrix position-unique."""
+    once per process and each tensor takes the next (wrapping) window.
+    Values repeat with period 2^24, so transposes/permutations within a
+    tensor are always caught (stride mismatch), while a hypothetical
+    converter bug swapping two same-shape tensors exactly 2^24 elements
+    apart would alias — an accepted residual risk of the fast filler."""
     global _FILL_POOL
     if _FILL_POOL is None:
         _FILL_POOL = np.random.default_rng(0).standard_normal(
