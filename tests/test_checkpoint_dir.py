@@ -113,17 +113,25 @@ def _fabricate_clip_state_dict(t):
     return sd
 
 
-def write_diffusers_dir(root, pcfg):
+def write_diffusers_dir(root, pcfg, fmt='bin'):
     """Write a complete diffusers-format checkpoint dir for a PipelineConfig
-    (torch ``.bin`` weights + per-module ``config.json``)."""
+    (``.bin`` torch or ``.safetensors`` weights + per-module config.json)."""
     root.mkdir(parents=True, exist_ok=True)
+
+    def _save(sd_torch, mdir, stem):
+        if fmt == 'safetensors':
+            from safetensors.torch import save_file
+            save_file({k: v.contiguous() for k, v in sd_torch.items()},
+                      str(mdir / f'{stem}.safetensors'))
+        else:
+            torch.save(sd_torch, mdir / f'{stem}.bin')
 
     unet_dir = root / 'unet'
     unet_dir.mkdir()
     (unet_dir / 'config.json').write_text(json.dumps(_unet_json(pcfg.unet)))
     usd = {k: torch.from_numpy(v)
            for k, v in _fabricate_unet_checkpoint(pcfg.unet).items()}
-    torch.save(usd, unet_dir / 'diffusion_pytorch_model.bin')
+    _save(usd, unet_dir, 'diffusion_pytorch_model')
 
     for name, tcfg in [('text_encoder', pcfg.text),
                        ('text_encoder_2', pcfg.text_2)]:
@@ -132,8 +140,7 @@ def write_diffusers_dir(root, pcfg):
         tdir = root / name
         tdir.mkdir()
         (tdir / 'config.json').write_text(json.dumps(_clip_json(tcfg)))
-        torch.save(_fabricate_clip_state_dict(tcfg),
-                   tdir / 'pytorch_model.bin')
+        _save(_fabricate_clip_state_dict(tcfg), tdir, 'model')
 
     vae_dir = root / 'vae'
     vae_dir.mkdir()
@@ -143,7 +150,7 @@ def write_diffusers_dir(root, pcfg):
     for p in tvae.parameters():
         with torch.no_grad():
             p.copy_(torch.randn_like(p) * 0.05)
-    torch.save(tvae.state_dict(), vae_dir / 'diffusion_pytorch_model.bin')
+    _save(tvae.state_dict(), vae_dir, 'diffusion_pytorch_model')
 
     sched_dir = root / 'scheduler'
     sched_dir.mkdir()
@@ -223,6 +230,20 @@ def test_from_pretrained_dir_end_to_end(tmp_path):
     out2 = pipe2('a dog runs', num_inference_steps=2, generator=set_seed(0))
     np.testing.assert_array_equal(np.asarray(out.images[0]),
                                   np.asarray(out2.images[0]))
+
+
+def test_from_pretrained_dir_safetensors(tmp_path):
+    """The safetensors read branch (preferred over .bin when present) loads
+    bit-identically to the .bin path — same fabricated weights, same image."""
+    pytest.importorskip('safetensors')
+    pcfg = get_pipeline_config('tiny')
+    db = write_diffusers_dir(tmp_path / 'bin', pcfg, fmt='bin')
+    ds = write_diffusers_dir(tmp_path / 'st', pcfg, fmt='safetensors')
+    pb = StableDiffusionPipeline.from_pretrained(str(db), scheduler='ddim')
+    ps = StableDiffusionPipeline.from_pretrained(str(ds), scheduler='ddim')
+    a = pb('a dog', num_inference_steps=1, generator=set_seed(0)).images[0]
+    b = ps('a dog', num_inference_steps=1, generator=set_seed(0)).images[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_from_pretrained_dir_sdxl_dual_encoder(tmp_path):
