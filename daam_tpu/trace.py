@@ -345,5 +345,75 @@ class DiffusionHeatMapHooker(AggregateHooker):
 
         return GlobalHeatMap(self.pipe.tokenizer, prompt, maps)
 
+    def compute_time_global_heat_maps(self, prompt: Optional[str] = None,
+                                      factors=None,
+                                      head_idx: Optional[int] = None,
+                                      layer_idx: Optional[int] = None,
+                                      normalize: bool = False,
+                                      batch_idx: int = 0
+                                      ) -> List[GlobalHeatMap]:
+        """Per-denoising-step global heat maps (requires ``save_heads=True``).
+
+        Returns one :class:`GlobalHeatMap` per sampling step, each
+        aggregated exactly like :meth:`compute_global_heat_map` but over a
+        single step's attention instead of the trajectory sum — word-level
+        attention *evolution* across the diffusion process.  Beyond the
+        reference: its ``RawHeatMapCollection`` only keeps the across-step
+        sum (``daam/heatmap.py:153-156``), and while its saved head files
+        (``daam/trace.py:246-250``) retain per-call tensors, no API slices
+        them by step.  Built on the same replay buffer as attention
+        transplants, so it also works after ``load_heads_from``/restart.
+        """
+        import jax.numpy as jnp
+
+        saved = self.replay_buffer(0)
+        if prompt is None:
+            prompt = (self.last_prompts[batch_idx]
+                      if batch_idx < len(self.last_prompts)
+                      else self.last_prompt)
+        if factors is not None:
+            factors = set(factors)
+        x = int(math.sqrt(self.latent_hw))
+
+        total = None
+        count = 0
+        for factor, names, ids in self.capture_spec(self.pipe):
+            if factors is not None and factor not in factors:
+                continue
+            pairs = list(zip(names, ids))
+            if layer_idx is not None:
+                pairs = [(nm, i) for nm, i in pairs if i == layer_idx]
+            for nm, _i in pairs:
+                a = saved[nm]                       # (S, 2B, H, hw, T)
+                s_steps, two_b, n_heads, hw, _t = a.shape
+                if head_idx is not None and head_idx >= n_heads:
+                    continue                        # mirrors the sum path
+                h = math.isqrt(hw)
+                if h * h != hw:
+                    raise RuntimeError(
+                        'per-step heat maps require square latents '
+                        f'(layer {nm}: hw={hw})')
+                cond = a[:, two_b // 2 + batch_idx]  # CFG conditional half
+                if head_idx is not None:
+                    cond = cond[:, head_idx:head_idx + 1]
+                # (S, H', hw, T) -> (S, H', T, h, w) -> upsample -> sum heads
+                m = cond.astype(jnp.float32).transpose(0, 1, 3, 2)
+                m = m.reshape(s_steps, m.shape[1], -1, h, h)
+                up = bicubic_resize(m, (x, x), clamp_min=0.0)
+                contrib = up.sum(axis=1)            # (S, T, x, x)
+                total = contrib if total is None else total + contrib
+                count += m.shape[1]
+        if total is None or count == 0:
+            raise RuntimeError('No heat maps found for the given parameters.')
+
+        maps = total / count
+        n_tokens = len(self.pipe.tokenizer.tokenize(prompt))
+        maps = maps[:, :n_tokens + 2]
+        if normalize:
+            maps = maps / (maps[:, 1:-1].sum(1, keepdims=True) + 1e-6)
+        maps = np.asarray(maps)
+        return [GlobalHeatMap(self.pipe.tokenizer, prompt, maps[s])
+                for s in range(maps.shape[0])]
+
 
 trace: Type[DiffusionHeatMapHooker] = DiffusionHeatMapHooker

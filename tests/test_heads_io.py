@@ -133,3 +133,51 @@ def test_save_heads_chunked_matches_single_chunk():
         assert saved_big[n].shape[0] == 5  # steps axis reassembled
         np.testing.assert_allclose(saved_big[n], saved_sm[n], rtol=2e-2,
                                    atol=2e-2)
+
+
+def test_time_heat_maps_sum_to_global(monkeypatch):
+    """Per-step heat maps (compute_time_global_heat_maps) must sum to the
+    trajectory-global map: the scan accumulator and the replay buffer see
+    the same probabilities, and bicubic upsampling is linear so per-step
+    aggregation commutes with the across-step sum."""
+    import jax.numpy as jnp
+    import numpy as np
+    from daam_tpu import set_seed, trace
+    from daam_tpu.pipeline.sd import StableDiffusionPipeline
+    import importlib
+    # daam_tpu re-exports the trace CLASS under the submodule's name, so
+    # plain `import daam_tpu.trace as m` resolves to the class
+    trace_mod = importlib.import_module('daam_tpu.trace')
+    monkeypatch.setattr(trace_mod, '_HEAD_CACHE', dict(trace_mod._HEAD_CACHE))
+    pipe = StableDiffusionPipeline.from_pretrained('tiny', scheduler='ddim')
+    pipe.heads_dtype = jnp.float32      # exact-precision replay
+    steps = 3
+    with trace(pipe, save_heads=True, persist_heads=False,
+               data_dir='time-maps-test') as tc:
+        pipe('a dog chasing a ball', num_inference_steps=steps,
+             generator=set_seed(0))
+        g = np.asarray(tc.compute_global_heat_map().heat_maps)
+        per_step = tc.compute_time_global_heat_maps()
+
+        assert len(per_step) == steps
+        stacked = np.stack([np.asarray(t.heat_maps) for t in per_step])
+        # upsampling is linear but its undershoot CLAMP is not: the global
+        # path clamps the across-step sum, the per-step path clamps each
+        # step, so edge texels may differ by the clamped undershoot (<1%
+        # of map scale); everywhere else they agree exactly
+        np.testing.assert_allclose(stacked.sum(0), g, rtol=0.08, atol=5e-3)
+        assert abs(stacked.sum(0).mean() - g.mean()) < 1e-4
+
+        # per-step word queries work and the maps actually evolve
+        w0 = np.asarray(per_step[0].compute_word_heat_map('dog').value)
+        w2 = np.asarray(per_step[-1].compute_word_heat_map('dog').value)
+        assert np.isfinite(w0).all() and np.isfinite(w2).all()
+        assert not np.allclose(w0, w2)
+
+        # filters mirror the aggregate path
+        lay = tc.compute_time_global_heat_maps(layer_idx=0)
+        assert len(lay) == steps
+        nrm = tc.compute_time_global_heat_maps(normalize=True)
+        real = np.asarray(nrm[0].heat_maps)[1:-1]
+        np.testing.assert_allclose(real.sum(0), np.ones_like(real[0]),
+                                   rtol=1e-3, atol=1e-3)
