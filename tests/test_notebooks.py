@@ -87,6 +87,13 @@ def test_notebook_2_visuosemantic(tmp_path, monkeypatch):
         assert row['n'] == 3
         assert 0.0 <= row['mIoU'] <= 1.0
 
+    # attention-evolution study: one normalized mass value per step per word
+    series = ns['evolution_series']
+    assert set(series) == {'zebra', 'giraffe', 'field'}
+    for ys in series.values():
+        assert len(ys) == ns['STEPS']
+        assert all(0.0 <= y <= 1.0 for y in ys)
+
 
 def test_notebook_0_setup(tmp_path, monkeypatch):
     ns = _run_notebook('0-setup.ipynb', tmp_path, monkeypatch)
