@@ -318,6 +318,7 @@ def make_app(pipe, default_seed: int, batch_size: int = 1):
         counterfactual = choice and new_prompt != prompt
 
         image2 = None
+        evolution = None
         if batcher is not None and not counterfactual:
             # plain request: coalesce with concurrent ones into one traced call
             image, heat_map = batcher.submit(prompt, steps, seed)
@@ -328,6 +329,10 @@ def make_app(pipe, default_seed: int, batch_size: int = 1):
                     out = pipe(prompt, num_inference_steps=steps, generator=gen)
                     heat_map = tc.compute_global_heat_map()
                     image = out.images[0]
+                    if counterfactual:
+                        # the transplant's replay buffer doubles as a
+                        # per-step time series for the replaced word
+                        evolution = tc.compute_time_global_heat_maps()
 
                 if counterfactual:
                     gen = set_seed(seed)
@@ -350,6 +355,19 @@ def make_app(pipe, default_seed: int, batch_size: int = 1):
             html.append(f'<div class="cell"><img src="data:image/png;base64,'
                         f'{b64}"/><br/>{esc(parsed.token.text)}</div>')
         html.append('</div>')
+        if evolution is not None and choice:
+            # up to 8 evenly spaced steps of the replaced word's attention
+            n = len(evolution)
+            idxs = sorted({round(i * (n - 1) / max(1, min(8, n) - 1))
+                           for i in range(min(8, n))})
+            html.append(f'<h3>Attention evolution: {esc(choice)}</h3>'
+                        f'<div class="grid">')
+            for s in idxs:
+                wm = evolution[s].compute_word_heat_map(choice)
+                b64 = _overlay_b64(image, wm)
+                html.append(f'<div class="cell"><img src="data:image/png;'
+                            f'base64,{b64}"/><br/>step {s + 1}/{n}</div>')
+            html.append('</div>')
         return prompt, ''.join(html)
 
     class Handler(http.server.BaseHTTPRequestHandler):
