@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--seed-offset', type=int, default=0)
     parser.add_argument('--num-timesteps', '-n', type=int, default=30)
     parser.add_argument('--all-heads', action='store_true')
+    parser.add_argument('--time-maps', action='store_true',
+                        help='also save one heat map per denoising step and '
+                             'word (needs --save-heads; files '
+                             '{word}.time{S}.heat_map.png)')
     parser.add_argument('--word', type=str)
     parser.add_argument('--random-seed', action='store_true')
     parser.add_argument('--truth-only', action='store_true')
@@ -306,10 +310,35 @@ def main(argv=None):
                     if args.all_heads:
                         save_all_heads(tc, args, prompt_id, prompt, seed, word,
                                        out.images[offset])
+                    if args.time_maps:
+                        save_time_maps(tc, args, prompt_id, prompt, seed, word,
+                                       out.images[offset], batch_idx=offset)
                 progress.update(1)
                 progress.write(f'[daam] {prompt_id}: {prompt!r} -> '
                                f'{Path(args.output_folder) / prompt_id}')
     progress.close()
+
+
+def save_time_maps(tc, args, prompt_id, prompt, seed, word, image,
+                   batch_idx=0):
+    """Per-denoising-step heat maps for one word (no reference analog; needs
+    the ``--save-heads`` replay buffer)."""
+    try:
+        per_step = tc.compute_time_global_heat_maps(batch_idx=batch_idx)
+    except RuntimeError as e:
+        print(f'[daam] --time-maps skipped: {e}')
+        return
+    for s, hm in enumerate(per_step):
+        exp = GenerationExperiment(
+            path=Path(args.output_folder),
+            id=str(prompt_id),
+            global_heat_map=np.asarray(hm.heat_maps),
+            seed=seed,
+            prompt=prompt,
+            image=image,
+            tokenizer=tc.pipe.tokenizer,
+        )
+        exp.save_heat_map(word, output_prefix=f'time{s:03d}-')
 
 
 def save_all_heads(tc, args, prompt_id, prompt, seed, word, image):

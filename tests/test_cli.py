@@ -182,3 +182,15 @@ def test_demo_gradio_wiring(monkeypatch):
     assert calls['n_inputs'] == 5
     html = calls['fn']('A blue dog', '', '', 2, False)
     assert 'data:image/png;base64' in html
+
+
+def test_time_maps_flag(tmp_path):
+    """--time-maps (with --save-heads) writes one heat map per step per word:
+    time{S}-{word}.heat_map.png (no reference analog)."""
+    out = tmp_path / 'tm'
+    gen_cli.main(['A dog runs', '--tiny', '-n', '2', '-o', str(out), '-s', '7',
+                  '--save-heads', '--time-maps'])
+    for step in (0, 1):
+        for word in ('a', 'dog', 'runs'):
+            assert (out / f'time{step:03d}-{word}.heat_map.png').exists(), \
+                (step, word)
