@@ -18,6 +18,7 @@ import random
 import sys
 import time
 
+from PIL import Image
 import numpy as np
 
 try:
@@ -91,7 +92,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--time-maps', action='store_true',
                         help='also save one heat map per denoising step and '
                              'word (needs --save-heads; files '
-                             '{word}.time{S}.heat_map.png)')
+                             'time{S}-{word}.heat_map.png plus an animated '
+                             '{word}.time.gif)')
     parser.add_argument('--word', type=str)
     parser.add_argument('--random-seed', action='store_true')
     parser.add_argument('--truth-only', action='store_true')
@@ -328,6 +330,7 @@ def save_time_maps(tc, args, prompt_id, prompt, seed, word, image,
     except RuntimeError as e:
         print(f'[daam] --time-maps skipped: {e}')
         return
+    frames = []
     for s, hm in enumerate(per_step):
         exp = GenerationExperiment(
             path=Path(args.output_folder),
@@ -338,7 +341,12 @@ def save_time_maps(tc, args, prompt_id, prompt, seed, word, image,
             image=image,
             tokenizer=tc.pipe.tokenizer,
         )
-        exp.save_heat_map(word, output_prefix=f'time{s:03d}-')
+        frames.append(exp.save_heat_map(word, output_prefix=f'time{s:03d}-'))
+    if len(frames) > 1:
+        first, *rest = (Image.open(p).convert('P', palette=Image.ADAPTIVE)
+                        for p in frames)
+        first.save(frames[0].parent / f'{word.lower()}.time.gif',
+                   save_all=True, append_images=rest, duration=150, loop=0)
 
 
 def save_all_heads(tc, args, prompt_id, prompt, seed, word, image):

@@ -194,3 +194,8 @@ def test_time_maps_flag(tmp_path):
         for word in ('a', 'dog', 'runs'):
             assert (out / f'time{step:03d}-{word}.heat_map.png').exists(), \
                 (step, word)
+    for word in ('a', 'dog', 'runs'):
+        gif = out / f'{word}.time.gif'
+        assert gif.exists(), word
+        with PIL.Image.open(gif) as im:
+            assert getattr(im, 'n_frames', 1) == 2, word
