@@ -6,10 +6,18 @@ tracing-overhead target is ≥ 0.95).  The reference publishes no numbers
 (BASELINE.md), so the untraced run on the same hardware IS the baseline.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Relay-proofing: the axon relay's per-call latency varies by orders of
+magnitude between sessions (ROADMAP), so alongside wall time the harness
+measures (a) the relay round-trip time on a trivial compiled op and (b)
+best-effort *device* time per call from a ``jax.profiler`` trace (sum of
+HLO self times).  When wall time diverges from device time beyond a bound,
+``relay_suspect`` is set and ``vs_baseline`` falls back to the device-time
+ratio so a sick relay degrades the measurement instead of poisoning it.
 
 Flags: --model (default xl-base-1.0, the BASELINE.json north-star config),
---steps, --batch, --reps, --image-size.
+--steps, --batch, --reps, --image-size, --no-device-time.
 """
 
 import argparse
@@ -27,8 +35,9 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       os.path.expanduser('~/.cache/daam_tpu_jax_cache'))
 
 
-def run_config(pipe, prompt, steps, batch, traced, reps, height, width, key):
-    """Median wall-clock seconds per pipeline call.
+def run_config(pipe, prompt, steps, batch, traced, reps, height, width, key,
+               device_time: bool = False):
+    """(median wall s/call, device s/call or None).
 
     Each rep uses a distinct PRNG key so every call is a genuinely new
     computation (identical repeated programs can be memoized/pipelined by
@@ -48,6 +57,7 @@ def run_config(pipe, prompt, steps, batch, traced, reps, height, width, key):
                     height=height, width=width)
 
     times = []
+    dev_t = None
     if traced:
         with trace(pipe) as tc:
             one_call(0)  # compile
@@ -59,14 +69,84 @@ def run_config(pipe, prompt, steps, batch, traced, reps, height, width, key):
                 # traced deliverable).
                 tc.compute_global_heat_map()
                 times.append(time.perf_counter() - t0)
+            if device_time:
+                dev_t = measure_device_time(one_call)
     else:
         one_call(0)  # compile
         for i in range(reps):
             t0 = time.perf_counter()
             one_call(i + 1)
             times.append(time.perf_counter() - t0)
+        if device_time:
+            dev_t = measure_device_time(one_call)
+    times.sort()
+    return times[len(times) // 2], dev_t
+
+
+def measure_relay_rtt(reps: int = 5) -> float:
+    """Median round-trip of a trivial compiled op (add + 1-scalar fetch):
+    pure dispatch + relay latency, ~0 device time.  Healthy sessions measure
+    milliseconds; the 2026-08-18 pathology measured tens of seconds."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    np.asarray(f(x))  # compile + first fetch
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def measure_device_time(one_call, reps: int = 1):
+    """Best-effort device seconds per call: profile ``reps`` calls and sum
+    HLO self times from the xplane (the same extraction as
+    ``scripts/profile_hlo_breakdown.py``).  Returns None when the profiler
+    or xprof tooling is unavailable."""
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    try:
+        logdir = tempfile.mkdtemp(prefix='daam_bench_prof_')
+        jax.profiler.start_trace(logdir)
+        try:
+            for i in range(reps):
+                one_call(100 + i)  # pipe() fetches images = host barrier
+        finally:
+            jax.profiler.stop_trace()
+
+        paths = glob.glob(os.path.join(logdir, '**', '*.xplane.pb'),
+                          recursive=True)
+        if not paths:
+            return None
+        path = max(paths, key=os.path.getmtime)
+        from xprof.convert import raw_to_tool_data as rtd
+        data, _ = rtd.xspace_to_tool_data([path], 'hlo_stats^', {})
+        if isinstance(data, bytes):
+            data = gzip.decompress(data).decode() if data[:2] == b'\x1f\x8b' \
+                else data.decode()
+        table = json.loads(data)
+        t0 = table[0] if isinstance(table, list) else table
+        cols = [c.get('label', c.get('id', '')) for c in t0['cols']]
+        i_self = next((i for i, c in enumerate(cols)
+                       if 'total self time' in str(c).lower()), None)
+        if i_self is None:
+            return None
+        total_us = sum(float(r['c'][i_self].get('v') or 0)
+                       for r in t0['rows'])
+        return total_us / 1e6 / reps
+    except Exception as e:  # pragma: no cover - depends on relay/xprof health
+        print(f'[bench] device-time profiling unavailable: {e}',
+              file=sys.stderr)
+        return None
 
 
 def main(argv=None):
@@ -80,6 +160,8 @@ def main(argv=None):
     parser.add_argument('--image-size', type=int, default=None)
     parser.add_argument('--dtype', default='bfloat16')
     parser.add_argument('--scheduler', default='ddim')
+    parser.add_argument('--no-device-time', action='store_true',
+                        help='skip the profiler-based device-time measurement')
     args = parser.parse_args(argv)
 
     import jax
@@ -99,24 +181,46 @@ def main(argv=None):
     prompt = 'A dog runs across the field'
 
     n_chips = jax.device_count()
-    t_untraced = run_config(pipe, prompt, args.steps, args.batch, False,
-                            args.reps, size, size, key)
-    t_traced = run_config(pipe, prompt, args.steps, args.batch, True,
-                          args.reps, size, size, key)
+    relay_rtt = measure_relay_rtt()
+    want_dev = not args.no_device_time
+    t_untraced, d_untraced = run_config(pipe, prompt, args.steps, args.batch,
+                                        False, args.reps, size, size, key,
+                                        device_time=want_dev)
+    t_traced, d_traced = run_config(pipe, prompt, args.steps, args.batch,
+                                    True, args.reps, size, size, key,
+                                    device_time=want_dev)
 
-    imgs_per_sec_traced = args.batch / t_traced / n_chips
     ratio = t_untraced / t_traced  # >= 0.95 target
+    # Relay health: a sick relay inflates wall time (dispatch latency) while
+    # device time is unaffected.  Flag when the trivial-op round trip is slow
+    # or wall diverges >1.5x from measured device time; then prefer the
+    # device-time ratio for vs_baseline (graceful degradation, VERDICT r3 #3).
+    relay_suspect = relay_rtt > 0.25
+    if d_traced and t_traced / d_traced > 1.5:
+        relay_suspect = True
+    value_t = t_traced
+    if relay_suspect and d_traced and d_untraced:
+        ratio = d_untraced / d_traced
+        value_t = d_traced
+    imgs_per_sec_traced = args.batch / value_t / n_chips
 
     print(json.dumps({
         'metric': f'{args.model}_traced_imgs_per_sec_per_chip_{args.steps}steps',
         'value': round(imgs_per_sec_traced, 5),
         'unit': 'imgs/sec/chip',
         'vs_baseline': round(ratio, 4),
+        'wall_s_per_call': round(t_traced, 4),
+        'device_s_per_call': None if d_traced is None else round(d_traced, 4),
+        'relay_rtt_s': round(relay_rtt, 4),
+        'relay_suspect': relay_suspect,
     }))
     # Supplementary details on stderr (driver reads only the stdout line).
+    dev_msg = ('' if d_traced is None or d_untraced is None else
+               f'  device: {d_untraced:.3f}/{d_traced:.3f}s')
     print(f'untraced: {t_untraced:.3f}s/call  traced: {t_traced:.3f}s/call  '
           f'overhead: {(t_traced / t_untraced - 1) * 100:.2f}%  '
-          f'chips: {n_chips}  size: {size}  steps: {args.steps}',
+          f'chips: {n_chips}  size: {size}  steps: {args.steps}  '
+          f'relay_rtt: {relay_rtt * 1e3:.1f}ms{dev_msg}',
           file=sys.stderr)
 
 

@@ -152,7 +152,8 @@ class StableDiffusionPipeline:
     def _build_generate(self, batch_size: int, num_steps: int, height: int,
                         width: int, capture_spec: Optional[Tuple] = None,
                         save_heads: bool = False, load_heads: bool = False,
-                        chunk_steps: Optional[int] = None):
+                        chunk_steps: Optional[int] = None,
+                        snapshot_accs: bool = False):
         """Build the jitted generate pipeline for one signature.
 
         Three separately-compiled stages (text encode → denoising scan → VAE
@@ -176,8 +177,9 @@ class StableDiffusionPipeline:
         # keeps the probs side-output + per-step XLA accumulation.
         acc_mode = capture and not save_heads
         T_ctx = self.tokenizer.model_max_length
-        # Bound at build time: programs are cached per signature, so set
-        # pipe.heads_dtype before the first save_heads call of a signature.
+        # Bound at build time; the jit cache key includes heads_dtype for
+        # save_heads signatures, so changing pipe.heads_dtype mid-session
+        # simply compiles a fresh program (no stale-dtype footgun).
         heads_dtype = self.heads_dtype
 
         # capture_spec: tuple of (factor, (layer_names...), (layer_ids...))
@@ -356,10 +358,23 @@ class StableDiffusionPipeline:
             jit_finalize = jax.jit(finalize_acc)
         else:
             jit_sample = jax.jit(sample)
+        if snapshot_accs:
+            # Per-chunk heat-map deltas (trace.time_chunk_steps): diff the
+            # running in-kernel accumulators against the previous chunk
+            # boundary and ship only the factor blocks to host (fp16) — the
+            # cheap per-step-maps path; the probability tensors never
+            # materialize (unlike save_heads).
+            assert acc_mode, 'snapshot_accs requires in-kernel accumulation'
+
+            def snap_diff(a, p):
+                blocks = finalize_acc({n: a[n] - p[n] for n in a})
+                return {f: b.astype(jnp.float16) for f, b in blocks.items()}
+            jit_snap = jax.jit(snap_diff)
 
         def generate(params, input_ids, neg_input_ids, key, guidance_scale,
                      replay=None, step_callback=None):
             context, added = jit_text(params, input_ids, neg_input_ids)
+            snaps = [] if snapshot_accs else None
             if not chunked:
                 latents, accs = jit_sample(params, context, added, key,
                                            guidance_scale)
@@ -367,6 +382,7 @@ class StableDiffusionPipeline:
             else:
                 C = max(1, int(chunk_steps or self.heads_chunk_steps))
                 carry = jit_chunk_init(key)
+                prev_accs = carry[2]
                 saved_lists: Optional[Dict[str, list]] = None
                 for start in range(0, scan_steps, C):
                     end = min(start + C, scan_steps)
@@ -384,6 +400,10 @@ class StableDiffusionPipeline:
                             saved_lists = {n: [] for n in ys}
                         for n, arr in ys.items():
                             saved_lists[n].append(np.asarray(arr))  # to host
+                    if snapshot_accs:
+                        snaps.append({f: np.asarray(b) for f, b in
+                                      jit_snap(carry[2], prev_accs).items()})
+                        prev_accs = carry[2]
                     if step_callback is not None:
                         # Live per-step callback at chunk granularity: fires
                         # DURING sampling with the real intermediate latents
@@ -398,7 +418,7 @@ class StableDiffusionPipeline:
                          {n: np.concatenate(chunks, axis=0)
                           for n, chunks in saved_lists.items()})
             images = jit_decode(params, latents)
-            return images, accs, saved
+            return images, accs, saved, snaps
 
         return generate
 
@@ -521,17 +541,25 @@ class StableDiffusionPipeline:
         capture_spec = tr.capture_spec(self) if tr is not None else None
         save_heads = bool(tr and tr.save_heads)
         load_heads = bool(tr and tr.load_heads)
+        # Cheap per-chunk heat-map snapshots (trace.time_chunk_steps); the
+        # save_heads replay buffer supersedes it (exact per-step maps).
+        time_chunk = (tr.time_chunk_steps
+                      if tr is not None and tr.time_chunk_steps and
+                      not (save_heads or load_heads) else None)
 
         from ..parallel.mesh import get_active_mesh
         mesh = get_active_mesh()
         mesh_key = None if mesh is None else tuple(sorted(mesh.shape.items()))
         cache_key = (B, num_inference_steps, height, width, capture_spec,
-                     save_heads, load_heads, callback_steps, mesh_key)
+                     save_heads and str(jnp.dtype(self.heads_dtype)),
+                     load_heads, callback_steps, time_chunk, mesh_key)
         if cache_key not in self._jit_cache:
             self._jit_cache[cache_key] = self._build_generate(
                 B, num_inference_steps, height, width,
                 capture_spec=capture_spec, save_heads=save_heads,
-                load_heads=load_heads, chunk_steps=callback_steps)
+                load_heads=load_heads,
+                chunk_steps=time_chunk or callback_steps,
+                snapshot_accs=time_chunk is not None)
         generate = self._jit_cache[cache_key]
 
         input_ids = self._encode_tokens(prompts)
@@ -539,12 +567,15 @@ class StableDiffusionPipeline:
 
         kwargs = {}
         if load_heads:
-            kwargs['replay'] = tr.replay_buffer(num_inference_steps)
+            scan_steps = self.scheduler.num_scan_steps(num_inference_steps)
+            replay = tr.replay_buffer(scan_steps)
+            self._validate_replay(replay, B, height, width)
+            kwargs['replay'] = replay
         if callback is not None and callback_steps is not None:
             kwargs['step_callback'] = callback
-        images, accs, saved = generate(self.params, input_ids, neg_ids,
-                                       generator,
-                                       jnp.float32(guidance_scale), **kwargs)
+        images, accs, saved, snaps = generate(
+            self.params, input_ids, neg_ids, generator,
+            jnp.float32(guidance_scale), **kwargs)
 
         if output_type == 'pil':
             pil_images = _to_pil(_quantize_u8(images))
@@ -556,7 +587,7 @@ class StableDiffusionPipeline:
             # trace records the post-safety-checker images, like the
             # reference's hooked run_safety_checker (daam/trace.py:156-169)
             tr._on_call_end(prompts, pil_images, accs, saved,
-                            num_inference_steps)
+                            num_inference_steps, time_blocks=snaps)
         if callback is not None and callback_steps is None:
             # Counter-style callbacks (e.g. trace.time_callback) fire after
             # the fused scan; pass callback_steps for live per-step calls.
@@ -565,6 +596,39 @@ class StableDiffusionPipeline:
 
         return PipelineOutput(images=pil_images,
                               nsfw_content_detected=nsfw_flags)
+
+    def _validate_replay(self, replay, batch_size: int, height: int,
+                         width: int):
+        """Fail with a clear message when a saved replay buffer doesn't fit
+        this generation's geometry (batch / spatial grid / context length) —
+        the scan would otherwise die on an opaque shape error deep in jit."""
+        layout = {info.name: info for info in
+                  cross_attention_layout(self.config.unet)}
+        latent_h = height // self.vae_scale_factor
+        latent_w = width // self.vae_scale_factor
+        T_ctx = self.tokenizer.model_max_length
+        for name, arr in replay.items():
+            info = layout.get(name)
+            if info is None:
+                raise RuntimeError(
+                    f'Replay buffer layer {name!r} does not exist in this '
+                    f'UNet ({len(layout)} cross-attention layers); the heads '
+                    f'were saved from a different model.')
+            want = (2 * batch_size, info.heads,
+                    (latent_h // info.downscale) * (latent_w // info.downscale),
+                    T_ctx)
+            if tuple(arr.shape[1:]) != want:
+                raise RuntimeError(
+                    f'Replay buffer layer {name!r} has per-step shape '
+                    f'{tuple(arr.shape[1:])} but this generation needs {want} '
+                    f'(batch {batch_size}, {height}x{width}); save and load '
+                    f'heads must use the same batch size and image size.')
+        missing = [n for n, info in layout.items() if n not in replay]
+        if missing:
+            raise RuntimeError(
+                f'Replay buffer is missing layers {missing[:4]}'
+                f'{"..." if len(missing) > 4 else ""}; it was saved from a '
+                f'different model or an incomplete save_heads run.')
 
     # ------------------------------------------------- reference-API helpers
     def run_safety_checker(self, images, prompts):

@@ -91,9 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--all-heads', action='store_true')
     parser.add_argument('--time-maps', action='store_true',
                         help='also save one heat map per denoising step and '
-                             'word (needs --save-heads; files '
-                             'time{S}-{word}.heat_map.png plus an animated '
-                             '{word}.time.gif)')
+                             'word (files time{S}-{word}.heat_map.png plus '
+                             'an animated {word}.time.gif); uses cheap '
+                             'accumulator snapshots unless --save-heads')
+    parser.add_argument('--time-chunk', type=int, default=1,
+                        help='steps per --time-maps frame on the snapshot '
+                             'path (1 = every step)')
     parser.add_argument('--word', type=str)
     parser.add_argument('--random-seed', action='store_true')
     parser.add_argument('--truth-only', action='store_true')
@@ -283,8 +286,13 @@ def main(argv=None):
         import jax.numpy as jnp
         gen = jnp.stack([set_seed(s) for s in chunk_seeds])
         batch = [p for _, p, _ in chunk_prompts]
+        # --time-maps without --save-heads rides the cheap accumulator
+        # snapshots (per-chunk diffs; no probability buffer).
+        time_chunk = (args.time_chunk if args.time_maps and
+                      not (args.save_heads or args.load_heads) else None)
         with trace(pipe, low_memory=args.low_memory, save_heads=args.save_heads,
-                   load_heads=args.load_heads) as tc:
+                   load_heads=args.load_heads,
+                   time_chunk_steps=time_chunk) as tc:
             out = pipe(batch if len(batch) > 1 else batch[0],
                        num_inference_steps=args.num_timesteps, generator=gen,
                        callback=tc.time_callback)
@@ -323,8 +331,9 @@ def main(argv=None):
 
 def save_time_maps(tc, args, prompt_id, prompt, seed, word, image,
                    batch_idx=0):
-    """Per-denoising-step heat maps for one word (no reference analog; needs
-    the ``--save-heads`` replay buffer)."""
+    """Per-denoising-step heat maps for one word (no reference analog).
+    Sources: cheap accumulator snapshots (default; ``--time-chunk`` steps
+    per frame) or the exact ``--save-heads`` replay buffer."""
     try:
         per_step = tc.compute_time_global_heat_maps(batch_idx=batch_idx)
     except RuntimeError as e:
@@ -342,11 +351,19 @@ def save_time_maps(tc, args, prompt_id, prompt, seed, word, image,
             tokenizer=tc.pipe.tokenizer,
         )
         frames.append(exp.save_heat_map(word, output_prefix=f'time{s:03d}-'))
-    if len(frames) > 1:
-        first, *rest = (Image.open(p).convert('P', palette=Image.ADAPTIVE)
-                        for p in frames)
-        first.save(frames[0].parent / f'{word.lower()}.time.gif',
-                   save_all=True, append_images=rest, duration=150, loop=0)
+    if not frames:
+        return
+
+    def _load(path):
+        with Image.open(path) as im:
+            return im.convert('RGB')
+
+    # RGB frames: Pillow derives one shared palette at save time, avoiding the
+    # per-frame-adaptive-palette color drift older Pillows show on appended
+    # P-mode frames.  A single frame still writes a (one-frame) GIF.
+    first, *rest = (_load(p) for p in frames)
+    first.save(frames[0].parent / f'{word.lower()}.time.gif',
+               save_all=True, append_images=rest, duration=150, loop=0)
 
 
 def save_all_heads(tc, args, prompt_id, prompt, seed, word, image):

@@ -23,6 +23,7 @@ Differences by design (SURVEY.md §7):
 """
 
 import math
+from collections import OrderedDict
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple, Type, Union
 
@@ -34,11 +35,36 @@ from .hook import AggregateHooker, ObjectHooker, UNetCrossAttentionLocator
 from .ops.resize import bicubic_resize
 from .utils import cache_dir
 
-__all__ = ['trace', 'DiffusionHeatMapHooker', 'GlobalHeatMap']
+__all__ = ['trace', 'DiffusionHeatMapHooker', 'GlobalHeatMap', 'release_heads']
 
 
-# In-process replay registry: data_dir key -> {layer_name: (steps, 2B, H, hw, T)}
-_HEAD_CACHE: Dict[str, Any] = {}
+# In-process replay registry: data_dir key -> {layer_name: (steps, 2B, H, hw, T)}.
+# Bounded LRU: each entry is a full replay buffer (GBs at production step
+# counts), so a long-running server or a corpus run with per-experiment
+# data_dirs must not accumulate them.  Oldest entries evict once the registry
+# exceeds _HEAD_CACHE_MAX; evicted buffers remain loadable from their
+# auto-persisted ``cache_dir()/heads/*.npz`` file.
+_HEAD_CACHE_MAX = 4
+_HEAD_CACHE: 'OrderedDict[str, Any]' = OrderedDict()
+
+
+def _head_cache_put(key: str, value: Any):
+    _HEAD_CACHE[key] = value
+    _HEAD_CACHE.move_to_end(key)
+    while len(_HEAD_CACHE) > _HEAD_CACHE_MAX:
+        _HEAD_CACHE.popitem(last=False)
+
+
+def release_heads(data_dir: Union[str, Path, None] = None) -> bool:
+    """Drop an in-memory replay buffer (all of them when ``data_dir`` is
+    None).  Returns whether anything was released.  The on-disk ``.npz``
+    (if ``persist_heads`` wrote one) is untouched, so ``load_heads`` still
+    works afterwards — this frees memory, it does not forget the heads."""
+    if data_dir is None:
+        released = bool(_HEAD_CACHE)
+        _HEAD_CACHE.clear()
+        return released
+    return _HEAD_CACHE.pop(str(data_dir), None) is not None
 
 
 class PipelineHooker(ObjectHooker):
@@ -63,7 +89,8 @@ class DiffusionHeatMapHooker(AggregateHooker):
     def __init__(self, pipeline, low_memory: bool = False,
                  load_heads: bool = False, save_heads: bool = False,
                  data_dir: Optional[Union[str, Path]] = None,
-                 persist_heads: bool = True):
+                 persist_heads: bool = True,
+                 time_chunk_steps: Optional[int] = None):
         self.all_heat_maps = RawHeatMapCollection()
         # Heat-map grid: 64² for 512/1024-px models, 96² for 768-px
         # (reference ``daam/trace.py:32-33``).
@@ -85,6 +112,13 @@ class DiffusionHeatMapHooker(AggregateHooker):
         self.save_heads = save_heads
         self.load_heads = load_heads
         self.persist_heads = persist_heads
+        # Per-step/per-chunk heat maps WITHOUT the full-probs replay buffer:
+        # when set, the sampling scan runs in chunks of this many steps and
+        # the in-kernel heat-map accumulators are snapshotted (as diffs) at
+        # every chunk boundary — memory is ~the accumulator, not the
+        # steps x probs buffer save_heads needs.
+        self.time_chunk_steps = time_chunk_steps
+        self.time_blocks: List[Dict[int, Any]] = []
         self.data_dir = str(data_dir) if data_dir is not None else 'default'
 
         self.pipe = pipeline
@@ -132,6 +166,7 @@ class DiffusionHeatMapHooker(AggregateHooker):
     def _on_call_start(self, prompt):
         self.all_heat_maps.clear()
         self.batch_heat_maps.clear()
+        self.time_blocks = []
         if isinstance(prompt, str):
             self.last_prompt = prompt
             self.last_prompts = [prompt]
@@ -139,9 +174,12 @@ class DiffusionHeatMapHooker(AggregateHooker):
             self.last_prompt = prompt[0]
             self.last_prompts = list(prompt)
 
-    def _on_call_end(self, prompts, images, accs, saved, num_steps):
+    def _on_call_end(self, prompts, images, accs, saved, num_steps,
+                     time_blocks=None):
         import jax.numpy as jnp
 
+        if time_blocks is not None:
+            self.time_blocks = time_blocks
         self.last_prompts = list(prompts)
         self.last_images = images
         self.last_image = images[len(images) - 1] if images else None
@@ -157,7 +195,7 @@ class DiffusionHeatMapHooker(AggregateHooker):
             self.all_heat_maps.update_block(factor, block[0], layer_ids)
 
         if self.save_heads and saved is not None:
-            _HEAD_CACHE[self.data_dir] = saved
+            _head_cache_put(self.data_dir, saved)
 
     def heads_path(self) -> Path:
         """On-disk location of the auto-persisted replay buffer: one ``.npz``
@@ -191,7 +229,11 @@ class DiffusionHeatMapHooker(AggregateHooker):
         """The saved raw attention for ``load_heads``
         (analog of ``daam/trace.py:249-250,281-282``).  Falls back to the
         auto-persisted ``cache_dir()/heads`` file when the in-process registry
-        is cold (e.g. after a process restart)."""
+        is cold (e.g. after a process restart).  When ``num_steps > 0``, the
+        saved buffer must cover at least that many sampling steps — a clear
+        error replaces the opaque scan shape failure a short buffer would hit
+        (the reference fails loudly per step too: file-not-found at
+        ``daam/trace.py:249-250``)."""
         if self.data_dir not in _HEAD_CACHE:
             path = self.heads_path()
             if path.exists():
@@ -200,7 +242,18 @@ class DiffusionHeatMapHooker(AggregateHooker):
             raise RuntimeError(
                 f'No saved attention heads under data_dir={self.data_dir!r}; '
                 f'run a generation with save_heads=True first.')
-        return _HEAD_CACHE[self.data_dir]
+        _HEAD_CACHE.move_to_end(self.data_dir)
+        saved = _HEAD_CACHE[self.data_dir]
+        if num_steps:
+            saved_steps = min(a.shape[0] for a in saved.values())
+            if saved_steps < num_steps:
+                raise RuntimeError(
+                    f'Replay buffer under data_dir={self.data_dir!r} covers '
+                    f'{saved_steps} sampling steps but this generation needs '
+                    f'{num_steps}; regenerate with save_heads=True at '
+                    f'num_inference_steps>={num_steps} (or lower this run\'s '
+                    f'step count).')
+        return saved
 
     def dump_heads(self, path: Union[str, Path], compress: bool = True):
         """Persist the replay buffer to disk (.npz), the cross-process analog
@@ -222,12 +275,12 @@ class DiffusionHeatMapHooker(AggregateHooker):
         import jax.numpy as jnp
 
         data = np.load(path)
-        _HEAD_CACHE[self.data_dir] = {
+        _head_cache_put(self.data_dir, {
             name: jnp.asarray(
                 data[name],
                 dtype=(jnp.float32 if data[name].dtype == np.float32
                        else jnp.bfloat16))
-            for name in data.files}
+            for name in data.files})
 
     # ------------------------------------------------------------- queries
     def to_experiment(self, path, seed=None, id='.', subtype='.',
@@ -252,33 +305,16 @@ class DiffusionHeatMapHooker(AggregateHooker):
             tokenizer=self.pipe.tokenizer,
         )
 
-    def compute_global_heat_map(self, prompt: Optional[str] = None,
-                                factors=None, head_idx: Optional[int] = None,
-                                layer_idx: Optional[int] = None,
-                                normalize: bool = False,
-                                batch_idx: int = 0) -> GlobalHeatMap:
-        """Aggregate captured maps into a (tokens, x, x) global heat map.
-
-        Mirrors reference ``daam/trace.py:83-132``: filter by factor /
-        head / layer, bicubic-upsample each map to the x×x grid with
-        undershoot clamping, mean over all (factor, layer, head) entries,
-        truncate to ``len(tokenize(prompt)) + 2``, optionally normalize over
-        real tokens.
-        """
+    def _aggregate_source(self, source, batch_idx, factors, head_idx,
+                          layer_idx):
+        """Aggregate per-factor blocks {factor: (B, L, H, T, h, w)} into a
+        (T, x, x) map: filter by factor/head/layer, bicubic-upsample with
+        undershoot clamp, mean over entries (reference
+        ``daam/trace.py:112-126``).  Shared between the trajectory-sum path
+        and the per-chunk time-map path."""
         import jax.numpy as jnp
 
-        if prompt is None:
-            prompt = (self.last_prompts[batch_idx]
-                      if batch_idx < len(self.last_prompts) else self.last_prompt)
-        # ``None`` means every captured factor.  (The reference defaults to the
-        # hardcoded set {0,1,2,4,8,16,32,64}, ``daam/trace.py:103-104``, which
-        # covers everything its real models produce; "all" preserves that
-        # behavior while also working for nonstandard latent sizes.)
-        if factors is not None:
-            factors = set(factors)
-
         x = int(math.sqrt(self.latent_hw))
-        source = self.batch_heat_maps
         if not source:
             if head_idx is not None or layer_idx is not None:
                 raise RuntimeError('No heat maps found for the given parameters.')
@@ -309,7 +345,8 @@ class DiffusionHeatMapHooker(AggregateHooker):
             raise RuntimeError('No heat maps found. Did you forget to call '
                                '`with trace(...)` during generation?')
 
-        shapes_key = tuple((f, source[f].shape) for f, _ in plan)
+        shapes_key = tuple((f, source[f].shape, str(source[f].dtype))
+                           for f, _ in plan)
         agg_key = (shapes_key, tuple(plan), head_idx, x)
         if agg_key not in self._agg_cache:
             import jax
@@ -334,8 +371,36 @@ class DiffusionHeatMapHooker(AggregateHooker):
 
             self._agg_cache[agg_key] = jax.jit(aggregate)
 
-        maps = self._agg_cache[agg_key](
+        return self._agg_cache[agg_key](
             {f: source[f] for f, _ in plan}, batch_idx)
+
+    def compute_global_heat_map(self, prompt: Optional[str] = None,
+                                factors=None, head_idx: Optional[int] = None,
+                                layer_idx: Optional[int] = None,
+                                normalize: bool = False,
+                                batch_idx: int = 0) -> GlobalHeatMap:
+        """Aggregate captured maps into a (tokens, x, x) global heat map.
+
+        Mirrors reference ``daam/trace.py:83-132``: filter by factor /
+        head / layer, bicubic-upsample each map to the x×x grid with
+        undershoot clamping, mean over all (factor, layer, head) entries,
+        truncate to ``len(tokenize(prompt)) + 2``, optionally normalize over
+        real tokens.
+        """
+        import jax.numpy as jnp
+
+        if prompt is None:
+            prompt = (self.last_prompts[batch_idx]
+                      if batch_idx < len(self.last_prompts) else self.last_prompt)
+        # ``None`` means every captured factor.  (The reference defaults to the
+        # hardcoded set {0,1,2,4,8,16,32,64}, ``daam/trace.py:103-104``, which
+        # covers everything its real models produce; "all" preserves that
+        # behavior while also working for nonstandard latent sizes.)
+        if factors is not None:
+            factors = set(factors)
+
+        maps = self._aggregate_source(self.batch_heat_maps, batch_idx,
+                                      factors, head_idx, layer_idx)
         n_tokens = len(self.pipe.tokenizer.tokenize(prompt))
         maps = maps[:n_tokens + 2]  # +1 SOS, +1 padding (ref trace.py:127)
 
@@ -354,19 +419,39 @@ class DiffusionHeatMapHooker(AggregateHooker):
                                       ) -> List[GlobalHeatMap]:
         """Per-denoising-step global heat maps (requires ``save_heads=True``).
 
-        Returns one :class:`GlobalHeatMap` per sampling step, each
-        aggregated exactly like :meth:`compute_global_heat_map` but over a
-        single step's attention instead of the trajectory sum — word-level
-        attention *evolution* across the diffusion process.  Beyond the
-        reference: its ``RawHeatMapCollection`` only keeps the across-step
-        sum (``daam/heatmap.py:153-156``), and while its saved head files
+        Returns one :class:`GlobalHeatMap` per sampling step (or per
+        ``time_chunk_steps``-sized chunk), each aggregated exactly like
+        :meth:`compute_global_heat_map` but over a single step's attention
+        instead of the trajectory sum — word-level attention *evolution*
+        across the diffusion process.  Beyond the reference: its
+        ``RawHeatMapCollection`` only keeps the across-step sum
+        (``daam/heatmap.py:153-156``), and while its saved head files
         (``daam/trace.py:246-250``) retain per-call tensors, no API slices
-        them by step.  Built on the same replay buffer as attention
-        transplants, so it also works after ``load_heads_from``/restart.
+        them by step.
+
+        Two sources, picked automatically:
+
+        * ``save_heads=True`` — exact per-step maps from the replay buffer
+          (also works after ``load_heads_from``/restart), at steps x probs
+          memory.
+        * ``time_chunk_steps=K`` — the in-kernel accumulators are
+          snapshotted every K steps during the scan; per-chunk maps cost
+          only accumulator-sized diffs (the cheap path; ``K=1`` gives
+          per-step maps without ever materializing the probability tensors).
         """
         import jax.numpy as jnp
 
-        saved = self.replay_buffer(0)
+        if self.time_blocks and not (self.save_heads or self.load_heads):
+            return self._time_maps_from_blocks(prompt, factors, head_idx,
+                                               layer_idx, normalize,
+                                               batch_idx)
+        try:
+            saved = self.replay_buffer(0)
+        except RuntimeError as e:
+            raise RuntimeError(
+                f'{e} (Per-step maps need either save_heads=True or the '
+                f'cheap accumulator-snapshot mode: '
+                f'trace(pipe, time_chunk_steps=1).)') from None
         if prompt is None:
             prompt = (self.last_prompts[batch_idx]
                       if batch_idx < len(self.last_prompts)
@@ -414,6 +499,31 @@ class DiffusionHeatMapHooker(AggregateHooker):
         maps = np.asarray(maps)
         return [GlobalHeatMap(self.pipe.tokenizer, prompt, maps[s])
                 for s in range(maps.shape[0])]
+
+    def _time_maps_from_blocks(self, prompt, factors, head_idx, layer_idx,
+                               normalize, batch_idx) -> List[GlobalHeatMap]:
+        """Per-chunk maps from the accumulator snapshots
+        (``time_chunk_steps``): each chunk's diff block aggregates through
+        the same plan/jit as :meth:`compute_global_heat_map`, so the chunk
+        maps sum (scaled) to the trajectory map by construction."""
+        if prompt is None:
+            prompt = (self.last_prompts[batch_idx]
+                      if batch_idx < len(self.last_prompts)
+                      else self.last_prompt)
+        if factors is not None:
+            factors = set(factors)
+        n_tokens = len(self.pipe.tokenizer.tokenize(prompt))
+
+        results = []
+        for blk in self.time_blocks:
+            maps = self._aggregate_source(blk, batch_idx, factors, head_idx,
+                                          layer_idx)
+            maps = maps[:n_tokens + 2]
+            if normalize:
+                maps = maps / (maps[1:-1].sum(0, keepdims=True) + 1e-6)
+            results.append(GlobalHeatMap(self.pipe.tokenizer, prompt,
+                                         np.asarray(maps)))
+        return results
 
 
 trace: Type[DiffusionHeatMapHooker] = DiffusionHeatMapHooker

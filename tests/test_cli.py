@@ -199,3 +199,30 @@ def test_time_maps_flag(tmp_path):
         assert gif.exists(), word
         with PIL.Image.open(gif) as im:
             assert getattr(im, 'n_frames', 1) == 2, word
+
+
+def test_time_maps_flag_without_save_heads(tmp_path):
+    """--time-maps WITHOUT --save-heads rides the cheap accumulator-snapshot
+    path (VERDICT r3 #5): same artifact set, no replay buffer ever built."""
+    out = tmp_path / 'tm2'
+    gen_cli.main(['A dog runs', '--tiny', '-n', '2', '-o', str(out), '-s', '7',
+                  '--time-maps'])
+    for step in (0, 1):
+        for word in ('a', 'dog', 'runs'):
+            assert (out / f'time{step:03d}-{word}.heat_map.png').exists(), \
+                (step, word)
+    gif = out / 'dog.time.gif'
+    assert gif.exists()
+    with PIL.Image.open(gif) as im:
+        assert getattr(im, 'n_frames', 1) == 2
+
+
+def test_time_maps_single_step_writes_gif(tmp_path):
+    """-n 1 with --time-maps still writes a (single-frame) GIF (ADVICE r3)."""
+    out = tmp_path / 'tm3'
+    gen_cli.main(['A dog', '--tiny', '-n', '1', '-o', str(out), '-s', '7',
+                  '--time-maps'])
+    gif = out / 'dog.time.gif'
+    assert gif.exists()
+    with PIL.Image.open(gif) as im:
+        assert getattr(im, 'n_frames', 1) == 1
