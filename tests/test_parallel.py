@@ -126,3 +126,31 @@ def test_pad_to_batch_traced_heat_maps(pipe):
         for i, p in enumerate(prompts):
             maps = np.asarray(tc.compute_global_heat_map(batch_idx=i).heat_maps)
             assert np.isfinite(maps).all()
+
+
+def test_sdxl_dp_tp_traced_matches_single_device():
+    """SDXL on the mesh (VERDICT r3 #4): dual text encoders + the text_time
+    added conditioning run under dp=2 x tp=2 and the traced heat maps match
+    the single-device run (reference SDXL trace support
+    ``daam/trace.py:55-56``)."""
+    pipe = StableDiffusionPipeline.from_pretrained('tiny-xl', scheduler='ddim')
+    prompts = ['a dog runs', 'a cat sits']
+    with trace(pipe) as tc:
+        out_single = pipe(prompts, num_inference_steps=2,
+                          generator=set_seed(0))
+        ref_maps = np.asarray(
+            tc.compute_global_heat_map(batch_idx=0).heat_maps)
+
+    mesh = make_mesh(dp=2, tp=2)
+    with trace(pipe) as tc2:
+        out_sharded = generate_batch(pipe, prompts, mesh=mesh,
+                                     num_inference_steps=2, seed=0)
+        sharded_maps = np.asarray(
+            tc2.compute_global_heat_map(batch_idx=0).heat_maps)
+
+    np.testing.assert_allclose(ref_maps, sharded_maps, rtol=1e-2, atol=1e-3)
+    for a, b in zip(out_single.images, out_sharded.images):
+        diff = np.abs(np.array(a, dtype=np.float32) -
+                      np.array(b, dtype=np.float32))
+        assert diff.max() <= 2.0
+        assert diff.mean() < 0.05
