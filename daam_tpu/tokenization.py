@@ -254,12 +254,21 @@ class HashWordTokenizer(_TokenizerBase):
     final piece of each word with ``</w>``, and assigns stable ids by hashing
     the token string.  The same string always maps to the same id, across
     processes and machines.
+
+    Caveat: hashing ~49k distinct token strings into a 49k id space WILL
+    collide at corpus scale (birthday bound: ~2%% of tokens collide at 1,000
+    distinct tokens).  Collisions are detected per-instance and warned about
+    once — two colliding words condition the model identically.  This
+    tokenizer is the last-resort fallback; the bundled CLIP-format BPE vocab
+    is the default and has no collisions.
     """
 
     def __init__(self, vocab_size: int = CLIP_VOCAB_SIZE, chunk_len: int = 9,
                  pad_id: Optional[int] = None):
         super().__init__(vocab_size=vocab_size, pad_id=pad_id)
         self.chunk_len = chunk_len
+        self._id_owner: Dict[int, str] = {}
+        self._collision_warned = False
 
     def tokenize(self, text: str) -> List[str]:
         text = _whitespace_clean(text).lower()
@@ -284,7 +293,17 @@ class HashWordTokenizer(_TokenizerBase):
                 ids.append(self.eot_id)
             else:
                 h = int.from_bytes(hashlib.md5(t.encode('utf-8')).digest()[:8], 'big')
-                ids.append(1 + h % (span - 1))
+                tid = 1 + h % (span - 1)
+                owner = self._id_owner.setdefault(tid, t)
+                if owner != t and not self._collision_warned:
+                    self._collision_warned = True
+                    import warnings
+                    warnings.warn(
+                        f'HashWordTokenizer id collision: {t!r} and {owner!r} '
+                        f'both map to id {tid}; their heat maps are '
+                        f'indistinguishable. Use the bundled BPE vocab '
+                        f'(default_tokenizer()) for collision-free ids.')
+                ids.append(tid)
         return ids
 
 

@@ -7,4 +7,5 @@
 # latent grids (64^2 SD2.1 / 128^2 SDXL) and a traced pipeline step at full
 # SD2.1 geometry.
 cd "$(dirname "$0")/.." || exit 1
-DAAM_FULL_GEOMETRY=1 exec python -m pytest tests/test_full_geometry.py -v "$@"
+DAAM_FULL_GEOMETRY=1 exec python -m pytest tests/test_full_geometry.py \
+    tests/test_real_reference_full_geometry.py --full -v "$@"
