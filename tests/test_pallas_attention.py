@@ -41,6 +41,17 @@ def test_flash_self_attention_matches_reference(L, hd):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize('Lq,Lk', [(2048, 2048), (2048, 1157), (512, 1536)])
+def test_flash_self_attention_online_branch(Lq, Lk):
+    """Long-K shapes route through the online-softmax branch (chunked key
+    loop, `_ONLINE_CHUNK`); unaligned Lk exercises the masked last chunk."""
+    q, k, v = _rand_qkv(1, 2, Lq, Lk, 64)
+    ref, _ = _reference_out(q, k, v)
+    out = flash_self_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_flash_self_attention_bf16():
     q, k, v = _rand_qkv(1, 2, 128, 128, 64)
     q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
