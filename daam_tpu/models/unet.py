@@ -25,7 +25,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import cross_attention, self_attention
+from ..ops.attention import (cross_attention, cross_attention_packed,
+                             packed_eligible, self_attention,
+                             self_attention_packed)
 from ..parallel.mesh import constraint as shard_constraint
 from .configs import UNetConfig
 
@@ -110,6 +112,26 @@ class Attention(nn.Module):
         q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name='to_q')(x)
         k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name='to_k')(context)
         v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name='to_v')(context)
+
+        if packed_eligible(self.heads, head_dim, L, context.shape[1],
+                           capture=capture if self.is_cross else False,
+                           replay=replay_probs is not None):
+            # Packed path: the kernels read the (B, L, H·hd) Dense layout
+            # directly (two heads per 128-lane block) — no relayout copies.
+            # Head parallelism shards the packed channel axis over 'model'
+            # (heads are contiguous 64-wide column blocks, so this is the
+            # same head sharding as below).
+            q = shard_constraint(q, 'data', None, 'model')
+            k = shard_constraint(k, 'data', None, 'model')
+            v = shard_constraint(v, 'data', None, 'model')
+            probs = None
+            if self.is_cross:
+                out, probs = cross_attention_packed(q, k, v, self.heads,
+                                                    capture=capture, acc=acc)
+            else:
+                out = self_attention_packed(q, k, v, self.heads)
+            out = nn.Dense(self.dim, dtype=self.dtype, name='to_out')(out)
+            return out, probs
 
         def split(t):
             return t.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)

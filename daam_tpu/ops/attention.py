@@ -21,7 +21,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ['self_attention', 'cross_attention', 'attention_probs_reference']
+__all__ = ['self_attention', 'cross_attention', 'attention_probs_reference',
+           'packed_eligible', 'self_attention_packed', 'cross_attention_packed']
 
 # Kernel dispatch mode: 'auto' | 'jnp' | 'pallas'.  Tests flip this.
 _KERNEL_MODE = 'auto'
@@ -73,6 +74,54 @@ def self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
         return flash_self_attention(q, k, v)
     out, _ = _jnp_attention(q, k, v, q.shape[-1] ** -0.5)
     return out
+
+
+def packed_eligible(heads: int, head_dim: int, q_len: int, k_len: int,
+                    capture=False, replay: bool = False) -> bool:
+    """True when the packed-layout kernels can serve this attention.
+
+    The packed kernels (:func:`~daam_tpu.ops.pallas_attention.flash_self_attention_packed`)
+    read the (B, L, H·hd) projection layout directly — two 64-wide heads per
+    128-lane block — eliminating the four (B,L,H,hd)↔(B,H,L,hd) relayout
+    copies per attention (4.2 ms/step on the SDXL UNet).  Requires hd == 64,
+    an even head count, the Pallas path, and (for cross-attention) a capture
+    mode the packed accumulator kernel implements.
+    """
+    if head_dim != 64 or heads % 2:
+        return False
+    if replay:
+        return False
+    if capture not in (False, 'acc'):
+        return False
+    return _use_pallas(q_len, k_len, head_dim)
+
+
+def self_attention_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          heads: int) -> jnp.ndarray:
+    """Self-attention on packed ``(B, L, H·hd)`` operands (see
+    :func:`packed_eligible`); output comes back packed."""
+    from .pallas_attention import flash_self_attention_packed
+    return flash_self_attention_packed(q, k, v, heads)
+
+
+def cross_attention_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           heads: int, capture=False,
+                           acc: Optional[jnp.ndarray] = None
+                           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Cross-attention on packed operands; supports ``capture`` in
+    ``{False, 'acc'}`` (the production paths — :func:`packed_eligible` gates
+    everything else back to the head-major pipeline)."""
+    from .pallas_attention import (cross_attention_acc_packed,
+                                   flash_self_attention_packed)
+    if capture == 'acc':
+        assert acc is not None, "capture='acc' requires the accumulator"
+        Bc = q.shape[0] // 2  # CFG layout [uncond; cond]
+        out_u = flash_self_attention_packed(q[:Bc], k[:Bc], v[:Bc], heads)
+        out_c, acc_new = cross_attention_acc_packed(q[Bc:], k[Bc:], v[Bc:],
+                                                    acc, heads)
+        return jnp.concatenate([out_u, out_c], axis=0), acc_new
+    assert capture is False
+    return flash_self_attention_packed(q, k, v, heads), None
 
 
 def _acc_update_jnp(acc: jnp.ndarray, probs_cond: jnp.ndarray) -> jnp.ndarray:

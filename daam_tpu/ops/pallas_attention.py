@@ -36,7 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['flash_self_attention', 'flash_attention', 'cross_attention_probs',
-           'cross_attention_acc', 'cross_acc_shape']
+           'cross_attention_acc', 'cross_acc_shape',
+           'flash_self_attention_packed', 'cross_attention_acc_packed']
 
 
 def _interpret() -> bool:
@@ -57,16 +58,21 @@ def _round_up(x: int, m: int) -> int:
 _ONLINE_CHUNK = 512      # key-axis chunk of the online-softmax branch
 
 
-def _self_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_valid: int):
-    q = q_ref[0]            # (TQ, hd)
-    Lk = k_ref.shape[1]
+def _attend_one_head(q, get_k, get_v, *, scale: float, l_valid: int, Lk: int):
+    """softmax(q·kᵀ)·v for one head, fp32 result (un-cast).
+
+    ``get_k(j, c)`` / ``get_v(j, c)`` load rows ``[j, j+c)`` of the key/value
+    block from VMEM — an indirection so the same softmax pipeline serves both
+    the head-major layout (full last dim) and the packed layout (64-lane
+    slice of a 2-head 128-lane block).
+    """
     ck = _ONLINE_CHUNK
 
     if Lk <= ck:
         # Small-K branch (incl. the padded 77-token cross contexts): one score
         # tile, two-pass softmax.  Nothing to pipeline at this size.
-        k = k_ref[0]        # (Lk, hd)
-        v = v_ref[0]
+        k = get_k(0, Lk)        # (Lk, hd)
+        v = get_v(0, Lk)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         if l_valid != Lk:
@@ -82,8 +88,7 @@ def _self_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_valid: int)
         # casting normalized probabilities.
         o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        o_ref[0] = (o / denom).astype(o_ref.dtype)
-        return
+        return o / denom
 
     # Long-K branch: online softmax over key chunks (flash attention proper).
     # A two-pass softmax serializes the VPU exp pass behind the FULL score
@@ -98,8 +103,8 @@ def _self_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_valid: int)
     acc = jnp.zeros((TQ, hd), jnp.float32)
     for j in range(0, Lk, ck):
         cj = min(ck, Lk - j)
-        k = k_ref[0, j:j + cj, :]
-        v = v_ref[0, j:j + cj, :]
+        k = get_k(j, cj)
+        v = get_v(j, cj)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         if j + cj > l_valid:
@@ -113,7 +118,17 @@ def _self_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_valid: int)
                                  preferred_element_type=jnp.float32)
         acc = acc * corr + pv
         m = m_new
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    return acc / l
+
+
+def _self_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_valid: int):
+    q = q_ref[0]            # (TQ, hd)
+    Lk = k_ref.shape[1]
+    o = _attend_one_head(q,
+                         lambda j, c: k_ref[0, j:j + c, :],
+                         lambda j, c: v_ref[0, j:j + c, :],
+                         scale=scale, l_valid=l_valid, Lk=Lk)
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('q_tile',))
@@ -174,6 +189,155 @@ def flash_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # Generic masked flash attention (any Lq/Lk); alias kept for call sites that
 # use it for non-self attention (e.g. the uncaptured CFG half of cross-attn).
 flash_attention = flash_self_attention
+
+
+# ---------------------------------------------------------------------------
+# packed-layout flash attention (two heads per program)
+# ---------------------------------------------------------------------------
+#
+# The head-major kernels above require (B, H, L, hd) operands, so every
+# attention pays four relayout copies against the projections' natural
+# (B, L, H·hd) layout — measured 4.2 ms/step on the SDXL UNet (6.8% "data
+# formatting" in the HLO profile).  Worse, hd = 64 arrays tile to (8, 128)
+# lanes with HALF the lanes dead, doubling their HBM footprint.
+#
+# These kernels read the packed (B, L, H·hd) layout DIRECTLY.  Mosaic
+# requires the last block dim to be a divisor-aligned 128 multiple, so one
+# 64-lane head can't be a block — but TWO heads side by side are exactly 128
+# lanes.  Each program lane-slices its two heads out of one dense block:
+# no transpose ops anywhere, no dead lanes in HBM or VMEM.  Requires
+# hd == 64 and an even head count (every SDXL level; SD2.1's 10/20-head
+# levels — its 5-head level stays on the head-major path).
+
+
+def _lane_masks(q2, hd: int):
+    """Boolean masks selecting each head's 64 lanes of the 128-lane pair."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, q2.shape, 1)
+    m0 = lanes < hd
+    return m0, jnp.logical_not(m0)
+
+
+def _self_attn_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                             l_valid: int, hd: int):
+    # Two heads side by side in one 128-lane block.  NO lane slicing: a
+    # K=64 contraction only half-fills the MXU's 128-deep pipeline, so
+    # contracting the FULL 128-lane pair with the other head's lanes zeroed
+    # costs the same MXU time — (q2⊙m_h)·k2ᵀ = q_h·k_hᵀ — and keeps every
+    # operand a dense full-width tile.  Same trick on the PV side:
+    # p_h·v2 puts head h's output in its own 64 lanes (the other 64 get
+    # p_h·v_{1-h}, masked away at the final select).
+    q2 = q_ref[0]           # (TQ, 2*hd)
+    Lk = k_ref.shape[1]
+    m0, m1 = _lane_masks(q2, hd)
+    zero = jnp.zeros((), q2.dtype)
+    qs = [jnp.where(m0, q2, zero), jnp.where(m1, q2, zero)]
+    ck = _ONLINE_CHUNK
+    TQ = q2.shape[0]
+
+    if Lk <= ck:
+        k2 = k_ref[0]       # (Lk, 2*hd)
+        v2 = v_ref[0]
+        outs = []
+        for qh in qs:
+            s = jax.lax.dot_general(qh, k2, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            if l_valid != Lk:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < l_valid, s, -jnp.inf)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(p.astype(v2.dtype), v2,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            outs.append(o / denom)
+        o_ref[0] = jnp.where(m0, outs[0], outs[1]).astype(o_ref.dtype)
+        return
+
+    # Online softmax over key chunks, both heads interleaved per chunk so
+    # Mosaic overlaps each head's exp with the other's score matmul too.
+    ms = [jnp.full((TQ, 1), -1e30, jnp.float32) for _ in range(2)]
+    ls = [jnp.zeros((TQ, 1), jnp.float32) for _ in range(2)]
+    accs = [jnp.zeros((TQ, 2 * hd), jnp.float32) for _ in range(2)]
+    for j in range(0, Lk, ck):
+        cj = min(ck, Lk - j)
+        k2 = k_ref[0, j:j + cj, :]
+        v2 = v_ref[0, j:j + cj, :]
+        for h in range(2):
+            s = jax.lax.dot_general(qs[h], k2, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            if j + cj > l_valid:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j
+                s = jnp.where(col < l_valid, s, -jnp.inf)
+            m_new = jnp.maximum(ms[h], jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(ms[h] - m_new)
+            ls[h] = ls[h] * corr + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(p.astype(v2.dtype), v2,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            accs[h] = accs[h] * corr + pv
+            ms[h] = m_new
+    o_ref[0] = jnp.where(m0, accs[0] / ls[0],
+                         accs[1] / ls[1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('heads', 'q_tile'))
+def flash_self_attention_packed(q: jnp.ndarray, k: jnp.ndarray,
+                                v: jnp.ndarray, heads: int,
+                                q_tile: Optional[int] = None) -> jnp.ndarray:
+    """Flash attention on the packed ``(B, L, H·hd)`` projection layout.
+
+    Equivalent to ``split -> flash_self_attention -> merge`` for ``hd == 64``
+    and even ``heads``, with zero relayout copies: the q/k/v Dense outputs
+    feed the kernel as-is and the result feeds ``to_out`` as-is.
+    """
+    B, L, C = q.shape
+    Lk = k.shape[1]
+    hd = C // heads
+    assert hd * heads == C and hd == 64 and heads % 2 == 0, (heads, C)
+    scale = hd ** -0.5
+    if q_tile is None:
+        # v5e in-situ sweep (scripts/probe_packed_attention.py): 512 wins on
+        # both branches at SD/SDXL lengths.  Two heads per program double the
+        # live online-softmax temporaries, so cap TQ·Lk at the largest
+        # measured-good product (512·4096) to stay inside scoped VMEM for
+        # longer sequences.
+        q_tile = 512 if Lk > _ONLINE_CHUNK else 256
+        while q_tile > 128 and q_tile * _round_up(Lk, 128) > 512 * 4096:
+            q_tile //= 2
+
+    Lk_pad = _round_up(Lk, 128)
+    if Lk_pad != Lk:
+        k = jnp.pad(k, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
+
+    TQ = min(q_tile, _round_up(L, 8))
+    L_pad = _round_up(L, TQ)
+    if L_pad != L:
+        q = jnp.pad(q, ((0, 0), (0, L_pad - L), (0, 0)))
+
+    P = C // (2 * hd)       # head pairs
+    grid = (B, P, L_pad // TQ)
+    out = pl.pallas_call(
+        functools.partial(_self_attn_packed_kernel, scale=scale,
+                          l_valid=Lk, hd=hd),
+        out_shape=jax.ShapeDtypeStruct((B, L_pad, C), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TQ, 2 * hd), lambda b, p, i: (b, i, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_pad, 2 * hd), lambda b, p, i: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_pad, 2 * hd), lambda b, p, i: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TQ, 2 * hd), lambda b, p, i: (b, i, p),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(q, k, v)
+
+    return out[:, :L]
 
 
 # ---------------------------------------------------------------------------
@@ -379,3 +543,104 @@ def cross_attention_acc(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(qf, kf, vf, acc)
 
     return out[:, :, :Lq], acc_new
+
+
+def _cross_attn_acc_packed_kernel(q_ref, k_ref, v_ref, acc_ref, o_ref,
+                                  acc_out_ref, *, scale: float, lk_valid: int,
+                                  lq_valid: int, q_tile: int, hd: int):
+    q2 = q_ref[0]            # (TQ, 2*hd) — two heads side by side
+    k2 = k_ref[0]            # (LK_pad, 2*hd)
+    v2 = v_ref[0]
+    m0, m1 = _lane_masks(q2, hd)
+    zero = jnp.zeros((), q2.dtype)
+    qs = [jnp.where(m0, q2, zero), jnp.where(m1, q2, zero)]
+    outs = []
+    for h in range(2):
+        # Transposed scores (KQᵀ) with the full-width masked contraction (see
+        # _self_attn_packed_kernel): k2·(q2⊙m_h)ᵀ = k_h·q_hᵀ.  Softmax runs
+        # over the sublane axis and Pᵀ adds straight into the accumulator.
+        s = jax.lax.dot_general(k2, qs[h], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(row < lk_valid, s, -jnp.inf)
+
+        m = jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=0, keepdims=True)
+        p = p / denom        # (LK_pad, TQ); masked token rows exactly 0
+
+        p_acc = p
+        if lq_valid % q_tile:
+            col = (jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) +
+                   pl.program_id(2) * q_tile)
+            p_acc = jnp.where(col < lq_valid, p, 0.0)
+
+        acc_out_ref[0, h] = acc_ref[0, h] + p_acc
+        # Pᵀᵀ·v2 puts head h's output in its own lanes (other lanes carry
+        # p_h·v_{1-h}, discarded by the final select).
+        outs.append(jax.lax.dot_general(p.astype(v2.dtype), v2,
+                                        (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32))
+    o_ref[0] = jnp.where(m0, outs[0], outs[1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('heads', 'q_tile'))
+def cross_attention_acc_packed(q: jnp.ndarray, k: jnp.ndarray,
+                               v: jnp.ndarray, acc: jnp.ndarray, heads: int,
+                               q_tile: int = 512
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`cross_attention_acc` on the packed ``(B, L, H·hd)`` layout.
+
+    Same accumulator contract (``cross_acc_shape`` geometry, aliased
+    in-place, pads exactly zero); the q/out relayout copies disappear.
+    Requires ``hd == 64`` and even ``heads``.
+    """
+    B, Lq, C = q.shape
+    Lk = k.shape[1]
+    hd = C // heads
+    assert hd * heads == C and hd == 64 and heads % 2 == 0, (heads, C)
+    scale = hd ** -0.5
+
+    Lk_pad = _round_up(Lk, 128)
+    kf = jnp.pad(k, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
+    vf = jnp.pad(v, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
+
+    TQ = min(q_tile, _round_up(Lq, 8))
+    Lq_pad = _round_up(Lq, TQ)
+    qf = q
+    if Lq_pad != Lq:
+        qf = jnp.pad(q, ((0, 0), (0, Lq_pad - Lq), (0, 0)))
+    assert acc.shape == (B, heads, Lk_pad, Lq_pad), \
+        (acc.shape, (B, heads, Lk_pad, Lq_pad))
+
+    P = heads // 2
+    grid = (B, P, Lq_pad // TQ)
+    out, acc_new = pl.pallas_call(
+        functools.partial(_cross_attn_acc_packed_kernel, scale=scale,
+                          lk_valid=Lk, lq_valid=Lq, q_tile=TQ, hd=hd),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Lq_pad, C), q.dtype),
+            jax.ShapeDtypeStruct(acc.shape, acc.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TQ, 2 * hd), lambda b, p, i: (b, i, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_pad, 2 * hd), lambda b, p, i: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_pad, 2 * hd), lambda b, p, i: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, Lk_pad, TQ), lambda b, p, i: (b, p, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TQ, 2 * hd), lambda b, p, i: (b, i, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, Lk_pad, TQ), lambda b, p, i: (b, p, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={3: 1},
+        interpret=_interpret(),
+    )(qf, kf, vf, acc)
+
+    return out[:, :Lq], acc_new

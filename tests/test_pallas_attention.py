@@ -212,3 +212,115 @@ def test_cross_attention_dispatch_acc_mode():
                                _acc_reference(np.zeros_like(acc),
                                               ref_p[B // 2:]),
                                rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# packed-layout kernels (two heads per 128-lane block; round-4 throughput)
+# ---------------------------------------------------------------------------
+
+def _pack(t):
+    """(B, H, L, hd) -> packed (B, L, H*hd), the Dense projection layout."""
+    B, H, L, hd = t.shape
+    return jnp.transpose(t, (0, 2, 1, 3)).reshape(B, L, H * hd)
+
+
+@pytest.mark.parametrize('H,Lq,Lk', [(2, 64, 64), (4, 256, 256),
+                                     (2, 100, 77), (6, 2048, 2048),
+                                     (2, 512, 1157)])
+def test_flash_self_attention_packed_matches_reference(H, Lq, Lk):
+    """Packed kernel == split -> head-major reference -> merge, including the
+    online-softmax long-K branch and masked unaligned Lk."""
+    from daam_tpu.ops.pallas_attention import flash_self_attention_packed
+
+    q, k, v = _rand_qkv(2, H, Lq, Lk, 64, seed=11)
+    ref, _ = _reference_out(q, k, v)
+    out = flash_self_attention_packed(_pack(q), _pack(k), _pack(v), heads=H,
+                                      q_tile=64 if Lq <= 256 else None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_pack(ref)),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_self_attention_packed_bf16():
+    from daam_tpu.ops.pallas_attention import flash_self_attention_packed
+
+    q, k, v = _rand_qkv(1, 4, 128, 128, 64, seed=12)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    ref, _ = _reference_out(qb, kb, vb)
+    out = flash_self_attention_packed(_pack(qb), _pack(kb), _pack(vb),
+                                      heads=4, q_tile=64)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(_pack(ref), dtype=np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize('Lq,tile', [(64, 32), (40, 16), (256, 64)])
+def test_cross_attention_acc_packed_matches_reference(Lq, tile):
+    """Packed accumulator kernel: same acc contract as the head-major one
+    (cross_acc_shape geometry, pads stay zero), packed O."""
+    from daam_tpu.ops.pallas_attention import (cross_attention_acc_packed,
+                                               cross_acc_shape)
+
+    B, H, Lk, hd = 2, 4, 77, 64
+    q, k, v = _rand_qkv(B, H, Lq, Lk, hd, seed=13)
+    rng = np.random.RandomState(14)
+    acc0 = jnp.asarray(rng.rand(*cross_acc_shape(B, H, Lq, Lk, q_tile=tile))
+                       .astype(np.float32))
+    acc0 = acc0.at[:, :, Lk:, :].set(0.0).at[:, :, :, Lq:].set(0.0)
+
+    ref_out, ref_p = _reference_out(q, k, v)
+    out, acc1 = cross_attention_acc_packed(_pack(q), _pack(k), _pack(v),
+                                           acc0, heads=H, q_tile=tile)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_pack(ref_out)),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(acc1), _acc_reference(acc0, ref_p),
+                               rtol=2e-3, atol=2e-3)
+    assert np.all(np.asarray(acc1)[:, :, Lk:, :] == 0.0)
+    assert np.all(np.asarray(acc1)[:, :, :, Lq:] == 0.0)
+
+
+def test_cross_attention_packed_dispatch_acc_mode():
+    """ops.attention.cross_attention_packed(capture='acc') == the head-major
+    cross_attention(capture='acc') over the same CFG batch."""
+    from daam_tpu.ops import attention as A
+    from daam_tpu.ops.pallas_attention import cross_acc_shape
+
+    B, H, Lq, Lk, hd = 4, 2, 64, 77, 64
+    q, k, v = _rand_qkv(B, H, Lq, Lk, hd, seed=15)
+    acc = jnp.zeros(cross_acc_shape(B // 2, H, Lq, Lk), jnp.float32)
+
+    mode = A.get_kernel_mode()
+    try:
+        A.set_kernel_mode('jnp')
+        out_ref, acc_ref = A.cross_attention(q, k, v, capture='acc', acc=acc)
+        A.set_kernel_mode('pallas')
+        out_p, acc_p = A.cross_attention_packed(_pack(q), _pack(k), _pack(v),
+                                                heads=H, capture='acc',
+                                                acc=acc)
+    finally:
+        A.set_kernel_mode(mode)
+
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(_pack(out_ref)),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(acc_p), np.asarray(acc_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_packed_eligible_gating():
+    """The packed path only engages where the kernels support it."""
+    from daam_tpu.ops import attention as A
+
+    mode = A.get_kernel_mode()
+    try:
+        A.set_kernel_mode('pallas')
+        assert A.packed_eligible(10, 64, 4096, 4096)
+        assert A.packed_eligible(10, 64, 4096, 77, capture='acc')
+        assert not A.packed_eligible(5, 64, 4096, 4096)          # odd heads
+        assert not A.packed_eligible(8, 40, 4096, 4096)          # hd != 64
+        assert not A.packed_eligible(10, 64, 4096, 77, capture='full')
+        assert not A.packed_eligible(10, 64, 4096, 77, replay=True)
+        A.set_kernel_mode('jnp')
+        assert not A.packed_eligible(10, 64, 4096, 4096)         # no pallas
+    finally:
+        A.set_kernel_mode(mode)
