@@ -369,6 +369,11 @@ class UNet2DConditionModel(nn.Module):
 
         h = nn.Conv(ch0, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     name='conv_in')(sample.astype(self.dtype))
+        # Spatial parallelism: latent rows shard over 'spatial' (size-1 axis
+        # = no-op).  Anchoring the NHWC feature maps here and at each
+        # resolution change lets GSPMD propagate the sharding through the
+        # whole level and insert the 3x3-conv halo exchanges itself.
+        h = shard_constraint(h, 'data', 'spatial', None, None)
 
         # ---- down path ----
         skips = [h]
@@ -390,6 +395,7 @@ class UNet2DConditionModel(nn.Module):
             if level < len(cfg.block_out_channels) - 1:
                 h = Downsample2D(ch, dtype=self.dtype,
                                  name=f'down_{level}_downsample')(h)
+                h = shard_constraint(h, 'data', 'spatial', None, None)
                 skips.append(h)
 
         # ---- mid ----
@@ -428,6 +434,7 @@ class UNet2DConditionModel(nn.Module):
             if level > 0:
                 h = Upsample2D(ch, dtype=self.dtype,
                                name=f'up_{level}_upsample')(h)
+                h = shard_constraint(h, 'data', 'spatial', None, None)
 
         h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=self.dtype,
                          name='conv_norm_out')(h)

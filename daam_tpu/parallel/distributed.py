@@ -93,28 +93,30 @@ def is_multi_process() -> bool:
     return jax.process_count() > 1
 
 
-def make_global_mesh(dp: Optional[int] = None, tp: int = 1):
-    """A ``('data', 'model')`` mesh over the global (all-process) device set.
+def make_global_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1):
+    """A ``('data', 'model', 'spatial')`` mesh over the global device set.
 
-    Devices are ordered by (process_index, id) before the (dp, tp) reshape,
-    so ``model`` (TP) groups stay within one host/slice — its per-layer
-    collectives ride ICI — while ``data`` spans hosts over DCN, where batch
-    sharding needs no inner-loop communication."""
+    Devices are ordered by (process_index, id) before the (dp, tp, sp)
+    reshape, so ``spatial`` (the innermost axis — per-layer halo exchanges
+    and K/V gathers, the most bandwidth-hungry collectives) and ``model``
+    (TP) groups stay within one host/slice and ride ICI — while ``data``
+    spans hosts over DCN, where batch sharding needs no inner-loop
+    communication."""
     import numpy as np
     import jax
     from jax.sharding import Mesh
 
     devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     if dp is None:
-        dp = len(devices) // tp
-    assert dp * tp <= len(devices), (dp, tp, len(devices))
+        dp = len(devices) // (tp * sp)
+    assert dp * tp * sp <= len(devices), (dp, tp, sp, len(devices))
     local_count = max(len([d for d in devices
                            if d.process_index == devices[0].process_index]), 1)
-    if tp > local_count:
+    if tp * sp > local_count:
         import warnings
         warnings.warn(
-            f'tp={tp} exceeds the {local_count} local devices of one process; '
-            f'tensor-parallel collectives will cross DCN, which is slow — '
-            f'prefer tp <= {local_count} with a larger data axis.')
-    arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
-    return Mesh(arr, ('data', 'model'))
+            f'tp*sp={tp * sp} exceeds the {local_count} local devices of one '
+            f'process; per-layer collectives will cross DCN, which is slow — '
+            f'prefer tp*sp <= {local_count} with a larger data axis.')
+    arr = np.asarray(devices[:dp * tp * sp]).reshape(dp, tp, sp)
+    return Mesh(arr, ('data', 'model', 'spatial'))

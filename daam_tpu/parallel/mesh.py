@@ -28,21 +28,27 @@ __all__ = ['make_mesh', 'use_mesh', 'get_active_mesh', 'constraint',
 _ACTIVE_MESH = None
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None):
-    """Build a ``Mesh`` with ``('data', 'model')`` axes.
+def make_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1,
+              devices=None):
+    """Build a ``Mesh`` with ``('data', 'model', 'spatial')`` axes.
 
-    ``dp`` defaults to ``len(devices) // tp``.  ``tp`` shards attention heads;
-    it must divide the smallest head count of the model you plan to run.
+    ``dp`` defaults to ``len(devices) // (tp * sp)``.  ``tp`` shards attention
+    heads (it must divide the smallest head count of the model you plan to
+    run); ``sp`` shards the latent height axis — GSPMD inserts the halo
+    exchanges for the 3x3 convs and the K/V all-gathers for attention, so
+    high-resolution generation scales past one chip's FLOPs without model
+    changes (the 'spatial scaling' axis, SURVEY.md §5).  Axes of size 1 cost
+    nothing.
     """
     import jax
     from jax.sharding import Mesh
 
     devices = list(devices if devices is not None else jax.devices())
     if dp is None:
-        dp = len(devices) // tp
-    assert dp * tp <= len(devices), (dp, tp, len(devices))
-    arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
-    return Mesh(arr, ('data', 'model'))
+        dp = len(devices) // (tp * sp)
+    assert dp * tp * sp <= len(devices), (dp, tp, sp, len(devices))
+    arr = np.asarray(devices[:dp * tp * sp]).reshape(dp, tp, sp)
+    return Mesh(arr, ('data', 'model', 'spatial'))
 
 
 def get_active_mesh():

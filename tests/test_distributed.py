@@ -21,11 +21,12 @@ def test_init_distributed_single_process_noop():
 
 def test_make_global_mesh_layout():
     mesh = make_global_mesh(tp=2)
-    assert mesh.shape == {'data': 4, 'model': 2}
-    # model groups are contiguous device ids (intra-host by construction)
+    assert mesh.shape == {'data': 4, 'model': 2, 'spatial': 1}
+    # model (and spatial) groups are contiguous device ids (intra-host by
+    # construction; mesh.devices is (dp, tp, sp))
     arr = np.asarray(mesh.devices)
     for row in arr:
-        ids = [d.id for d in row]
+        ids = [d.id for d in row.ravel()]
         assert ids == sorted(ids)
 
 
@@ -41,4 +42,4 @@ def test_make_global_mesh_generates():
 
 def test_make_global_mesh_full_tp():
     mesh = make_global_mesh(dp=1, tp=8)
-    assert mesh.shape == {'data': 1, 'model': 8}
+    assert mesh.shape == {'data': 1, 'model': 8, 'spatial': 1}

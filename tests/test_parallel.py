@@ -21,9 +21,11 @@ def pipe():
 
 def test_make_mesh_shapes():
     mesh = make_mesh(dp=4, tp=2)
-    assert mesh.shape == {'data': 4, 'model': 2}
+    assert mesh.shape == {'data': 4, 'model': 2, 'spatial': 1}
     mesh = make_mesh()
-    assert mesh.shape == {'data': 8, 'model': 1}
+    assert mesh.shape == {'data': 8, 'model': 1, 'spatial': 1}
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    assert mesh.shape == {'data': 2, 'model': 2, 'spatial': 2}
 
 
 def test_constraint_noop_without_mesh():
@@ -68,6 +70,30 @@ def test_dp_tp_traced_generation(pipe):
         generate_batch(pipe, prompts, mesh=mesh, num_inference_steps=2, seed=0)
         sharded_maps = np.asarray(tc2.compute_global_heat_map(batch_idx=0).heat_maps)
 
+    np.testing.assert_allclose(ref_maps, sharded_maps, rtol=1e-2, atol=1e-3)
+
+
+def test_dp_sp_traced_matches_single_device(pipe):
+    """Spatial parallelism (dp=2 × sp=4): latent rows shard over 'spatial';
+    GSPMD inserts the conv halo exchanges and attention K/V gathers.  Images
+    and heat maps must match the single-device run."""
+    prompts = ['a dog runs', 'a cat sits']
+    out_single = pipe(prompts, num_inference_steps=2, generator=set_seed(0))
+    with trace(pipe) as tc:
+        pipe(prompts, num_inference_steps=2, generator=set_seed(0))
+        ref_maps = np.asarray(tc.compute_global_heat_map(batch_idx=0).heat_maps)
+
+    mesh = make_mesh(dp=2, tp=1, sp=4)
+    out_sharded = generate_batch(pipe, prompts, mesh=mesh,
+                                 num_inference_steps=2, seed=0)
+    for a, b in zip(out_single.images, out_sharded.images):
+        diff = np.abs(np.array(a, dtype=np.float32) -
+                      np.array(b, dtype=np.float32))
+        assert diff.max() <= 2.0
+        assert diff.mean() < 0.05
+    with trace(pipe) as tc2:
+        generate_batch(pipe, prompts, mesh=mesh, num_inference_steps=2, seed=0)
+        sharded_maps = np.asarray(tc2.compute_global_heat_map(batch_idx=0).heat_maps)
     np.testing.assert_allclose(ref_maps, sharded_maps, rtol=1e-2, atol=1e-3)
 
 
