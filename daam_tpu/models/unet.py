@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import (cross_attention, cross_attention_packed,
-                             packed_eligible, self_attention,
-                             self_attention_packed)
+                             packed_eligible, packed_ghost_heads,
+                             self_attention, self_attention_packed)
 from ..parallel.mesh import constraint as shard_constraint
 from .configs import UNetConfig
 
@@ -89,6 +89,42 @@ class ResnetBlock2D(nn.Module):
         return x + h
 
 
+class PadDense(nn.Module):
+    """``nn.Dense``-compatible projection (identical param tree and numerics)
+    that can zero-pad the kernel's output columns (``lanes_pad``) or input
+    rows (``rows_pad``) at call time.
+
+    This is how the packed attention path serves odd head counts (SD2.1's
+    5-head level): padding the *weight* makes the projection matmul write the
+    even-head packed layout directly — the ghost head costs a ~100 KB weight
+    pad instead of a multi-MB activation pad/slice copy per attention.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lanes_pad: int = 0, rows_pad: int = 0):
+        in_features = x.shape[-1] - rows_pad
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        kernel = jnp.asarray(kernel, self.dtype)
+        if rows_pad:
+            kernel = jnp.pad(kernel, ((0, rows_pad), (0, 0)))
+        if lanes_pad:
+            kernel = jnp.pad(kernel, ((0, 0), (0, lanes_pad)))
+        y = jax.lax.dot_general(jnp.asarray(x, self.dtype), kernel,
+                                (((x.ndim - 1,), (0,)), ((), ())))
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros, (self.features,))
+            bias = jnp.asarray(bias, self.dtype)
+            if lanes_pad:
+                bias = jnp.pad(bias, ((0, lanes_pad),))
+            y = y + bias
+        return y
+
+
 class Attention(nn.Module):
     """Multi-head attention over flattened spatial tokens.
 
@@ -109,28 +145,38 @@ class Attention(nn.Module):
         context = x if context is None else context
         head_dim = self.dim // self.heads
 
-        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name='to_q')(x)
-        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name='to_k')(context)
-        v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name='to_v')(context)
+        packed = packed_eligible(self.heads, head_dim, L, context.shape[1],
+                                 capture=capture if self.is_cross else False,
+                                 replay=replay_probs is not None)
+        # Odd head counts pad one all-zero ghost head at the weight level so
+        # the projections emit the even-head packed layout directly.
+        ghost = packed_ghost_heads(self.heads) * head_dim if packed else 0
 
-        if packed_eligible(self.heads, head_dim, L, context.shape[1],
-                           capture=capture if self.is_cross else False,
-                           replay=replay_probs is not None):
+        q = PadDense(self.dim, use_bias=False, dtype=self.dtype,
+                     name='to_q')(x, lanes_pad=ghost)
+        k = PadDense(self.dim, use_bias=False, dtype=self.dtype,
+                     name='to_k')(context, lanes_pad=ghost)
+        v = PadDense(self.dim, use_bias=False, dtype=self.dtype,
+                     name='to_v')(context, lanes_pad=ghost)
+
+        if packed:
             # Packed path: the kernels read the (B, L, H·hd) Dense layout
             # directly (two heads per 128-lane block) — no relayout copies.
             # Head parallelism shards the packed channel axis over 'model'
             # (heads are contiguous 64-wide column blocks, so this is the
             # same head sharding as below).
+            heads_pad = self.heads + packed_ghost_heads(self.heads)
             q = shard_constraint(q, 'data', None, 'model')
             k = shard_constraint(k, 'data', None, 'model')
             v = shard_constraint(v, 'data', None, 'model')
             probs = None
             if self.is_cross:
-                out, probs = cross_attention_packed(q, k, v, self.heads,
+                out, probs = cross_attention_packed(q, k, v, heads_pad,
                                                     capture=capture, acc=acc)
             else:
-                out = self_attention_packed(q, k, v, self.heads)
-            out = nn.Dense(self.dim, dtype=self.dtype, name='to_out')(out)
+                out = self_attention_packed(q, k, v, heads_pad)
+            out = PadDense(self.dim, dtype=self.dtype,
+                           name='to_out')(out, rows_pad=ghost)
             return out, probs
 
         def split(t):

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ['self_attention', 'cross_attention', 'attention_probs_reference',
-           'packed_eligible', 'self_attention_packed', 'cross_attention_packed']
+           'packed_eligible', 'packed_ghost_heads', 'self_attention_packed',
+           'cross_attention_packed']
 
 # Kernel dispatch mode: 'auto' | 'jnp' | 'pallas'.  Tests flip this.
 _KERNEL_MODE = 'auto'
@@ -84,16 +85,31 @@ def packed_eligible(heads: int, head_dim: int, q_len: int, k_len: int,
     read the (B, L, H·hd) projection layout directly — two 64-wide heads per
     128-lane block — eliminating the four (B,L,H,hd)↔(B,H,L,hd) relayout
     copies per attention (4.2 ms/step on the SDXL UNet).  Requires hd == 64,
-    an even head count, the Pallas path, and (for cross-attention) a capture
-    mode the packed accumulator kernel implements.
+    the Pallas path, and (for cross-attention) a capture mode the packed
+    accumulator kernel implements.  Odd head counts (SD2.1's 5-head level)
+    run with one ghost head padded at the *weight* level — the projection
+    kernels gain 64 zero columns so the matmul writes the even-head packed
+    layout directly, with no activation pad/slice copies (see
+    :func:`packed_ghost_heads` and ``models.unet.PadDense``).
     """
-    if head_dim != 64 or heads % 2:
+    if head_dim != 64:
         return False
     if replay:
         return False
     if capture not in (False, 'acc'):
         return False
     return _use_pallas(q_len, k_len, head_dim)
+
+
+def packed_ghost_heads(heads: int) -> int:
+    """Ghost heads the packed path pads an odd head count with (0 or 1).
+
+    The packed kernels pair two 64-wide heads per 128-lane block, so an odd
+    head count gets one all-zero ghost head appended: zero q/k makes the
+    ghost's scores uniform and zero v makes its output exactly 0, so the
+    ghost never affects real lanes; its (garbage-uniform) accumulator row is
+    sliced off at heat-map finalization."""
+    return heads % 2
 
 
 def self_attention_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -195,8 +195,9 @@ class StableDiffusionPipeline:
                         h = latent_h // info.downscale
                         w = latent_w // info.downscale
                         accs[n] = jnp.zeros(
-                            cross_acc_shape(batch_size, info.heads, h * w,
-                                            T_ctx), jnp.float32)
+                            cross_acc_shape(batch_size,
+                                            self._acc_heads(info, h * w),
+                                            h * w, T_ctx), jnp.float32)
                 return accs
             for factor, names, _ids in capture_spec:
                 info = layout[names[0]]
@@ -217,7 +218,9 @@ class StableDiffusionPipeline:
                     info = layout[n]
                     h = latent_h // info.downscale
                     w = latent_w // info.downscale
-                    a = accs[n][:, :, :T_ctx, :h * w]
+                    # [:info.heads] drops the packed path's ghost head (odd
+                    # head counts; its row is uniform garbage by design).
+                    a = accs[n][:, :info.heads, :T_ctx, :h * w]
                     per_layer.append(a.reshape(batch_size, info.heads, T_ctx,
                                                h, w))
                 blocks[factor] = jnp.stack(per_layer, axis=1)
@@ -508,6 +511,20 @@ class StableDiffusionPipeline:
         (reference ``daam/trace.py:32-33``)."""
         image_size = self.config.image_size
         return 64 if image_size in (512, 1024) else 96
+
+    def _acc_heads(self, info, q_len: int) -> int:
+        """Head count of a layer's 'acc' accumulator: the real head count,
+        plus the packed path's ghost head when this layer's cross-attention
+        will run the packed kernel with an odd head count (the module and the
+        allocation evaluate the same predicate; the ghost row is sliced off
+        in ``finalize_acc``)."""
+        from ..ops.attention import packed_eligible, packed_ghost_heads
+        head_dim = (self.config.unet.block_out_channels[info.level]
+                    // info.heads)
+        if packed_eligible(info.heads, head_dim, q_len,
+                           self.tokenizer.model_max_length, capture='acc'):
+            return info.heads + packed_ghost_heads(info.heads)
+        return info.heads
 
     # ------------------------------------------------------------------ call
     def __call__(self, prompt: Union[str, List[str]],

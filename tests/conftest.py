@@ -58,6 +58,10 @@ _FULL_TIER = (
     'test_heads_io.py::test_time_heat_maps_sum_to_global',
     'test_heads_io.py::test_time_maps_chunked_coarser_granularity',
     'test_pipeline_trace.py::test_scheduler_variants_run',
+    # 5-head/64-dim full-pipeline ghost-head parity (~60 s; the fast tier
+    # keeps the module-level Attention odd-head parity in
+    # test_pallas_attention.py).
+    'test_pipeline_trace.py::test_traced_generation_odd_heads_packed_matches_jnp',
     'test_models.py::test_unet_replay_changes_output',
     'test_cli.py::test_time_maps_flag_without_save_heads',
     'test_cli.py::test_time_maps_single_step_writes_gif',

@@ -307,6 +307,111 @@ def test_cross_attention_packed_dispatch_acc_mode():
                                rtol=2e-3, atol=2e-3)
 
 
+def _ghost_pad(t):
+    """(B, H, L, hd) -> (B, H+1, L, hd) with an all-zero ghost head — the
+    padding ``models.unet.PadDense`` produces at the weight level for odd
+    head counts."""
+    B, H, L, hd = t.shape
+    return jnp.concatenate([t, jnp.zeros((B, 1, L, hd), t.dtype)], axis=1)
+
+
+def test_flash_self_attention_packed_ghost_head():
+    """Odd head counts (SD2.1's 5-head level): 5 real heads + one all-zero
+    ghost head through the packed kernel — real lanes match the 5-head
+    reference, ghost lanes are exactly zero (zero v ⇒ zero output)."""
+    from daam_tpu.ops.pallas_attention import flash_self_attention_packed
+
+    H = 5
+    q, k, v = _rand_qkv(2, H, 256, 256, 64, seed=16)
+    ref, _ = _reference_out(q, k, v)
+    out = flash_self_attention_packed(_pack(_ghost_pad(q)),
+                                      _pack(_ghost_pad(k)),
+                                      _pack(_ghost_pad(v)),
+                                      heads=H + 1, q_tile=64)
+    np.testing.assert_allclose(np.asarray(out[:, :, :H * 64]),
+                               np.asarray(_pack(ref)), rtol=2e-3, atol=2e-3)
+    assert np.all(np.asarray(out[:, :, H * 64:]) == 0.0)
+
+
+def test_cross_attention_acc_packed_ghost_head():
+    """Ghost head through the packed accumulator kernel: real head rows of
+    the accumulator match P^T, real output lanes match, ghost output lanes
+    are zero.  The ghost's own acc row (uniform 1/Lk_pad garbage by design)
+    is sliced off at heat-map finalization (pipeline/sd.py finalize_acc)."""
+    from daam_tpu.ops.pallas_attention import (cross_attention_acc_packed,
+                                               cross_acc_shape)
+
+    H, Lq, Lk = 5, 64, 77
+    q, k, v = _rand_qkv(1, H, Lq, Lk, 64, seed=17)
+    acc0 = jnp.zeros(cross_acc_shape(1, H + 1, Lq, Lk, q_tile=32),
+                     jnp.float32)
+    ref_out, ref_p = _reference_out(q, k, v)
+    out, acc1 = cross_attention_acc_packed(_pack(_ghost_pad(q)),
+                                           _pack(_ghost_pad(k)),
+                                           _pack(_ghost_pad(v)),
+                                           acc0, heads=H + 1, q_tile=32)
+    np.testing.assert_allclose(np.asarray(out[:, :, :H * 64]),
+                               np.asarray(_pack(ref_out)),
+                               rtol=2e-3, atol=2e-3)
+    assert np.all(np.asarray(out[:, :, H * 64:]) == 0.0)
+    a1 = np.asarray(acc1)
+    np.testing.assert_allclose(
+        a1[:, :H], _acc_reference(np.asarray(acc0[:, :H]), ref_p),
+        rtol=2e-3, atol=2e-3)
+    # real heads' pads stay zero
+    assert np.all(a1[:, :H, Lk:, :] == 0.0)
+    assert np.all(a1[:, :H, :, Lq:] == 0.0)
+
+
+def test_unet_attention_module_odd_heads_packed_matches_jnp():
+    """models.unet.Attention at SD2.1's odd 5-head/64-dim geometry: the
+    packed ghost-head path (pallas mode, PadDense weight padding) must match
+    the head-major jnp path — self-attention, plain cross, and the 'acc'
+    capture path with the pipeline's padded accumulator allocation."""
+    import jax
+    from daam_tpu.models.unet import Attention
+    from daam_tpu.ops import attention as A
+    from daam_tpu.ops.pallas_attention import cross_acc_shape
+
+    B2, L, Lk, H, dim, cdim = 4, 64, 77, 5, 320, 32  # B2 = 2B (CFG layout)
+    rng = np.random.RandomState(18)
+    x = jnp.asarray(rng.randn(B2, L, dim).astype(np.float32))
+    ctx = jnp.asarray(rng.randn(B2, Lk, cdim).astype(np.float32))
+
+    mode = A.get_kernel_mode()
+    try:
+        A.set_kernel_mode('jnp')
+        self_mod = Attention(heads=H, dim=dim, is_cross=False)
+        cross_mod = Attention(heads=H, dim=dim, is_cross=True)
+        p_self = self_mod.init(jax.random.PRNGKey(0), x)
+        p_cross = cross_mod.init(jax.random.PRNGKey(1), x, ctx)
+        out_self_j, _ = self_mod.apply(p_self, x)
+        out_cross_j, _ = cross_mod.apply(p_cross, x, ctx)
+        acc_j = jnp.zeros(cross_acc_shape(B2 // 2, H, L, Lk), jnp.float32)
+        out_acc_j, acc_j1 = cross_mod.apply(p_cross, x, ctx, capture='acc',
+                                            acc=acc_j)
+
+        A.set_kernel_mode('pallas')
+        assert A.packed_eligible(H, 64, L, Lk, capture='acc')
+        out_self_p, _ = self_mod.apply(p_self, x)
+        out_cross_p, _ = cross_mod.apply(p_cross, x, ctx)
+        acc_p = jnp.zeros(cross_acc_shape(B2 // 2, H + 1, L, Lk), jnp.float32)
+        out_acc_p, acc_p1 = cross_mod.apply(p_cross, x, ctx, capture='acc',
+                                            acc=acc_p)
+    finally:
+        A.set_kernel_mode(mode)
+
+    np.testing.assert_allclose(np.asarray(out_self_p), np.asarray(out_self_j),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_cross_p),
+                               np.asarray(out_cross_j), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_acc_p), np.asarray(out_acc_j),
+                               rtol=2e-3, atol=2e-3)
+    # real accumulator head rows agree; the ghost row is the module's to drop
+    np.testing.assert_allclose(np.asarray(acc_p1[:, :H]), np.asarray(acc_j1),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_packed_eligible_gating():
     """The packed path only engages where the kernels support it."""
     from daam_tpu.ops import attention as A
@@ -316,7 +421,9 @@ def test_packed_eligible_gating():
         A.set_kernel_mode('pallas')
         assert A.packed_eligible(10, 64, 4096, 4096)
         assert A.packed_eligible(10, 64, 4096, 77, capture='acc')
-        assert not A.packed_eligible(5, 64, 4096, 4096)          # odd heads
+        # odd heads run packed with one ghost head (round 5)
+        assert A.packed_eligible(5, 64, 4096, 4096)
+        assert A.packed_ghost_heads(5) == 1 and A.packed_ghost_heads(10) == 0
         assert not A.packed_eligible(8, 40, 4096, 4096)          # hd != 64
         assert not A.packed_eligible(10, 64, 4096, 77, capture='full')
         assert not A.packed_eligible(10, 64, 4096, 77, replay=True)

@@ -200,6 +200,48 @@ def test_scheduler_variants_run(pipe):
         assert np.isfinite(np.array(out.images[0], dtype=np.float32)).all()
 
 
+def test_traced_generation_odd_heads_packed_matches_jnp():
+    """SD2.1's odd head count at real attention geometry (5 heads × 64 dim):
+    the packed ghost-head path must produce the same heat maps as the
+    head-major jnp path through the full traced pipeline — exercises the
+    padded accumulator allocation (pipeline _acc_heads) and the ghost-row
+    slice in finalize_acc."""
+    from dataclasses import replace
+    from daam_tpu.models import weights as W
+    from daam_tpu.models.configs import UNetConfig, get_pipeline_config
+    from daam_tpu.ops import attention as A
+
+    base = get_pipeline_config('tiny')
+    cfg = replace(base, name='tiny-odd', unet=UNetConfig(
+        sample_size=8, block_out_channels=(320, 320),
+        down_block_types=('cross', 'plain'),
+        up_block_types=('cross', 'plain'),
+        layers_per_block=1, attention_head_dim=(5, 5),
+        transformer_layers_per_block=(1, 1),
+        cross_attention_dim=32, norm_num_groups=32))
+    params = W.init_random_params(cfg, seed=3)
+
+    def run():
+        pipe = StableDiffusionPipeline(cfg, params, scheduler='ddim')
+        with trace(pipe) as tc:
+            pipe('a dog chases a ball', num_inference_steps=2,
+                 generator=set_seed(12))
+            return np.asarray(tc.compute_global_heat_map().heat_maps)
+
+    mode = A.get_kernel_mode()
+    try:
+        A.set_kernel_mode('jnp')
+        maps_jnp = run()
+        A.set_kernel_mode('pallas')
+        maps_pallas = run()
+    finally:
+        A.set_kernel_mode(mode)
+
+    assert maps_pallas.shape == maps_jnp.shape
+    assert np.isfinite(maps_pallas).all()
+    np.testing.assert_allclose(maps_pallas, maps_jnp, rtol=1e-2, atol=1e-3)
+
+
 def test_traced_generation_pallas_mode_matches_jnp():
     """The production kernel path (set_kernel_mode('pallas') -> interpret mode
     on CPU): traced heat maps from the in-kernel accumulation must match the
