@@ -171,6 +171,11 @@ def main(argv=None):
     from daam_tpu.utils import (enable_persistent_compilation_cache,
                                 ensure_hugepages, set_seed)
     enable_persistent_compilation_cache()
+    # Explicit THP opt-in for the bench harness: this host's 4 KB fault path
+    # is ~6 ms/page (ROADMAP), so the multi-GB bf16 host-side param init
+    # would take ~an hour without THP=always.  The flip is restored at exit;
+    # DAAM_NO_THP=1 still wins.  Library code never does this by default.
+    os.environ.setdefault('DAAM_THP', '1')
     ensure_hugepages()
 
     dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32

@@ -638,6 +638,7 @@ def load_diffusers_checkpoint(path, dtype=jnp.float32
     from ..utils import ensure_hugepages
 
     ensure_hugepages()   # multi-GB first-touch is fault-bound without THP
+    # (no-op unless the process opted in with DAAM_THP=1 — see utils)
     path = Path(path)
     config = _detect_config(path)
     params: Dict[str, Any] = {}

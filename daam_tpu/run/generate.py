@@ -266,14 +266,19 @@ def main(argv=None):
     # the reference main loop (``daam/run/generate.py:210``).
     progress = tqdm(total=len(prompts), unit='img', desc='daam generate',
                     disable=len(prompts) <= 1)
+    # --random-seed: one time-derived base per run, offset by sample index.
+    # Per-sample int(time.time()) (the reference's form, generate.py:160)
+    # would give every sample generated in the same second — i.e. a whole
+    # batched chunk — the same PRNGKey and identical initial latents.
+    random_seed_base = int(time.time())
     for gen_idx in range(0, len(prompts), args.batch_size):
         chunk = prompts[gen_idx:gen_idx + args.batch_size]
         chunk_seeds = []
         chunk_prompts = []
         for offset, (prompt_id, prompt) in enumerate(chunk):
-            seed = int(time.time()) if args.random_seed else args.seed
             prompt = prompt.replace(',', ' ,').replace('.', ' .').strip()
             idx = gen_idx + offset
+            seed = random_seed_base + idx if args.random_seed else args.seed
             if seeds and idx < len(seeds):
                 seed = seeds[idx]
             if args.action == 'cconj':
@@ -367,9 +372,14 @@ def save_time_maps(tc, args, prompt_id, prompt, seed, word, image,
 
 
 def save_all_heads(tc, args, prompt_id, prompt, seed, word, image):
-    """Per-(head, layer) heat maps (reference ``generate.py:239-255``)."""
-    for head_idx in range(16):
-        for layer_idx, layer_name in enumerate(tc.layer_names):
+    """Per-(head, layer) heat maps (reference ``generate.py:239-255``).
+
+    The reference hardcodes ``range(16)`` heads, silently skipping SDXL's
+    heads 16-19 at the 20-head levels; here each layer sweeps its real head
+    count from the located layout (``tc.layer_heads``)."""
+    for layer_idx, (layer_name, n_heads) in enumerate(
+            zip(tc.layer_names, tc.layer_heads)):
+        for head_idx in range(n_heads):
             try:
                 heat_map = tc.compute_global_heat_map(layer_idx=layer_idx,
                                                       head_idx=head_idx)

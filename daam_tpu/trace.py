@@ -134,6 +134,15 @@ class DiffusionHeatMapHooker(AggregateHooker):
     def layer_names(self):
         return self.locator.layer_names
 
+    @property
+    def layer_heads(self):
+        """Per-layer attention head counts, aligned with :attr:`layer_names`.
+
+        The reference hardcodes 16 heads when sweeping per-head maps
+        (``daam/run/generate.py:239``), silently dropping SDXL's heads 16-19;
+        this exposes each located layer's real count instead."""
+        return [info.heads for info in self._located]
+
     def time_callback(self, *args, **kwargs):
         self.time_idx += 1
 

@@ -91,22 +91,27 @@ def enable_persistent_compilation_cache() -> None:
 
 
 def ensure_hugepages() -> None:
-    """Best-effort enable transparent hugepages for anonymous memory.
+    """Opt-in (``DAAM_THP=1``): enable transparent hugepages system-wide.
 
     Loading a multi-GB checkpoint (SDXL fp32 is ~10 GB) first-touches
     millions of fresh pages; on kernels where the 4 KB fault path is
     expensive this dominates everything (measured on one virtualized host:
     fresh-allocation memcpy 2.6 MB/s vs 460 MB/s into already-faulted pages
     — 85x once THP=always).  Production serving hosts normally set this in
-    the image; this helper makes scratch environments behave.  Silently a
-    no-op without root or on non-Linux; set ``DAAM_NO_THP=1`` to skip.
-    No reference analog (the reference never manages memory).
+    the image; this helper makes scratch environments behave.
 
-    The previous mode is restored at interpreter exit (atexit), and the
-    change is logged — this flips a system-wide kernel policy, which a host
-    deliberately configured for madvise/never workloads should not keep.
+    Because ``/sys/kernel/mm/transparent_hugepage/enabled`` is a
+    *system-wide* kernel policy (a host deliberately configured for
+    madvise/never workloads should not have a library change it), the write
+    only happens when the caller explicitly opts in with ``DAAM_THP=1`` —
+    the library's own call sites (checkpoint load) are no-ops by default;
+    this repo's bench/test harnesses opt in because this host exhibits the
+    pathology.  The previous mode is restored at interpreter exit (atexit)
+    and the change is logged.  Silently a no-op without root or on
+    non-Linux.  No reference analog (the reference never manages memory).
     """
-    if os.environ.get('DAAM_NO_THP') == '1':
+    if os.environ.get('DAAM_THP') != '1' or \
+            os.environ.get('DAAM_NO_THP') == '1':
         return
     path = '/sys/kernel/mm/transparent_hugepage/enabled'
     try:
@@ -123,8 +128,8 @@ def ensure_hugepages() -> None:
     import atexit
     import logging
     logging.getLogger(__name__).info(
-        'transparent_hugepage/enabled: %s -> always (restored at exit; '
-        'set DAAM_NO_THP=1 to skip)', prev)
+        'transparent_hugepage/enabled: %s -> always (DAAM_THP=1 opt-in; '
+        'restored at exit)', prev)
 
     def _restore(mode=prev):
         try:

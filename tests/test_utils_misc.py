@@ -45,3 +45,25 @@ def test_plot_mask_heat_map_runs():
     im = PIL.Image.new('RGB', (8, 8), (100, 0, 0))
     hm = np.random.RandomState(0).rand(8, 8)
     plot_mask_heat_map(im, hm, threshold=0.5)  # should not raise
+
+
+def test_ensure_hugepages_is_opt_in(monkeypatch):
+    """The system-wide THP flip must never happen by default (VERDICT r4 #5):
+    without DAAM_THP=1 the helper returns before touching /sys; DAAM_NO_THP=1
+    wins even when opted in."""
+    import builtins
+
+    from daam_tpu import utils as U
+
+    def _no_open(*a, **kw):
+        raise AssertionError('ensure_hugepages touched the filesystem '
+                             'without DAAM_THP=1')
+
+    monkeypatch.delenv('DAAM_THP', raising=False)
+    monkeypatch.delenv('DAAM_NO_THP', raising=False)
+    monkeypatch.setattr(builtins, 'open', _no_open)
+    U.ensure_hugepages()  # default: no /sys access at all
+
+    monkeypatch.setenv('DAAM_THP', '1')
+    monkeypatch.setenv('DAAM_NO_THP', '1')
+    U.ensure_hugepages()  # explicit off still wins
