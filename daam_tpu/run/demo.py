@@ -26,6 +26,7 @@ import queue
 import time
 import urllib.parse
 
+import PIL.Image
 import numpy as np
 
 from ..nlp import cached_nlp
@@ -135,19 +136,19 @@ def _img_to_b64(pil_img) -> str:
 
 
 def _overlay_b64(image, word_heat_map) -> str:
-    """Render the word overlay to a base64 PNG (jet colormap, alpha=1-heat)."""
-    import matplotlib
-    matplotlib.use('Agg')
-    import matplotlib.pyplot as plt
+    """Render the word overlay to a base64 PNG (jet colormap, alpha=1-heat).
 
-    fig, ax = plt.subplots(figsize=(3, 3))
-    word_heat_map.plot_overlay(image, ax=ax)
-    ax.set_xticks([])
-    ax.set_yticks([])
-    buf = io.BytesIO()
-    fig.savefig(buf, format='png', bbox_inches='tight')
-    plt.close(fig)
-    return base64.b64encode(buf.getvalue()).decode()
+    Pixel-identical to ``WordHeatMap.plot_overlay`` (the same
+    ``heatmap._jet_composite`` does the math) but composited directly in
+    numpy and encoded with PIL — no matplotlib figure machinery, which
+    BASELINE.md measured as the dominant host cost per request under
+    concurrent load on a 1-core serving host."""
+    from ..heatmap import _jet_composite
+
+    heat = word_heat_map.expand_as(image)
+    composite = _jet_composite(np.asarray(image), heat, color_normalize=True)
+    pil = PIL.Image.fromarray((composite * 255).astype(np.uint8))
+    return _img_to_b64(pil)
 
 
 PAGE = """<!doctype html>
