@@ -82,3 +82,60 @@ def test_unsupervised_evaluator_hungarian():
     ev.increment()
     assert len(ev) == 1
     assert 'mIoU' in str(ev)
+
+
+def test_unsupervised_nonsquare_label_sets():
+    """Gt labels {0,1,2} vs pred labels {0,1}: the assignment matrix is
+    padded square; the row matched to a never-logged column contributes
+    0 IoU and 0 count (reference evaluate.py:60-72 semantics)."""
+    ev = UnsupervisedEvaluator()
+    a = square_mask(16, 0, 8)
+    b = square_mask(16, 8, 16)
+    ev.log_iou(a, a, gt_idx=0, pred_idx=1)   # perfect, permuted
+    ev.log_iou(b, b, gt_idx=1, pred_idx=0)   # perfect, permuted
+    ev.log_iou(a, b, gt_idx=2, pred_idx=0)   # disjoint: IoU 0
+    # Hungarian: (0,1)=1.0, (1,0)=1.0, (2,2) never logged -> 0/0 contribution
+    assert ev.mean_iou == pytest.approx(1.0, abs=1e-6)
+
+
+def test_unsupervised_missing_pairs_and_repeats():
+    """Sparse (gt,pred) tables: repeated logs accumulate sum+count per cell;
+    unlogged cells on the assignment diagonal don't poison the mean."""
+    ev = UnsupervisedEvaluator()
+    a = square_mask(16, 0, 8)
+    b = square_mask(16, 8, 16)
+    ev.log_iou(a, a, gt_idx=0, pred_idx=0)   # 1.0
+    ev.log_iou(b, a, gt_idx=0, pred_idx=0)   # 0.0 (same cell, second sample)
+    ev.log_iou(b, b, gt_idx=1, pred_idx=1)   # 1.0
+    # cells: (0,0) sum=1.0 count=2; (1,1) sum=1.0 count=1 -> 2/3
+    assert ev.mean_iou == pytest.approx(2.0 / 3.0, abs=1e-6)
+
+
+def test_unsupervised_matches_reference_formula():
+    """Randomized sparse table: our accumulator agrees with a direct
+    transcription of the reference's defaultdict + square-matrix math."""
+    from collections import defaultdict
+
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.RandomState(3)
+    ev = UnsupervisedEvaluator()
+    ref = defaultdict(list)
+    masks = [square_mask(16, 0, 8), square_mask(16, 8, 16),
+             square_mask(16, 4, 12)]
+    for _ in range(30):
+        g, p = int(rng.randint(4)), int(rng.randint(3))
+        ma, mb = masks[rng.randint(3)], masks[rng.randint(3)]
+        ev.log_iou(ma, mb, gt_idx=g, pred_idx=p)
+        ref[g].append((p, compute_iou(ma, mb)))
+
+    n = max(max(ref), max(y[0] for x in ref.values() for y in x)) + 1
+    iou_m = np.zeros((n, n))
+    cnt_m = np.zeros((n, n))
+    for g, entries in ref.items():
+        for p, iou in entries:
+            iou_m[g, p] += iou
+            cnt_m[g, p] += 1
+    rows, cols = linear_sum_assignment(iou_m, maximize=True)
+    expect = iou_m[rows, cols].sum() / cnt_m[rows, cols].sum()
+    assert ev.mean_iou == pytest.approx(expect, abs=1e-6)
