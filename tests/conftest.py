@@ -57,6 +57,9 @@ _FULL_TIER = (
     'test_full_geometry.py::test_clip_full_geometry_parity',
     'test_parallel.py::test_sdxl_dp_tp_traced_matches_single_device',
     'test_parallel.py::test_tp4_traced_matches_single_device',
+    # three fresh SPMD compiles on the virtual mesh (~110 s); the dryrun +
+    # sharded-equivalence tests keep multi-chip coverage in the fast tier
+    'test_parallel.py::test_spmd_hlo_contains_expected_collectives',
     'test_parallel_transplant.py::test_mesh_traced_to_experiment',
     'test_heads_io.py::test_time_heat_maps_sum_to_global',
     'test_heads_io.py::test_time_maps_chunked_coarser_granularity',

@@ -180,3 +180,60 @@ def test_sdxl_dp_tp_traced_matches_single_device():
                       np.array(b, dtype=np.float32))
         assert diff.max() <= 2.0
         assert diff.mean() < 0.05
+
+
+def test_spmd_hlo_contains_expected_collectives(pipe):
+    """Performance-shaped multi-chip evidence without hardware (VERDICT r4
+    #9): the compiled SPMD program for a dp×tp×sp UNet step must actually
+    contain the collectives the sharding design promises — a halo exchange
+    (collective-permute) for the spatially sharded 3×3 convs and all-gathers
+    for the head-sharded attention / spatially sharded K/V."""
+    import jax
+    import jax.numpy as jnp
+
+    from daam_tpu.parallel import use_mesh
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = pipe.config.unet
+    B = 4  # CFG doubles it: 8 rows, divisible by every dp below
+    h = w = cfg.sample_size
+    latents = jnp.zeros((2 * B, h, w, cfg.in_channels), jnp.float32)
+    t = jnp.zeros((2 * B,), jnp.float32)
+    ctx = jnp.zeros((2 * B, 77, cfg.cross_attention_dim), jnp.float32)
+
+    def unet_step(params, latents, t, ctx):
+        eps, _ = pipe.unet_module.apply({'params': params['unet']},
+                                        latents, t, ctx)
+        return eps
+
+    def compiled_hlo(mesh):
+        # Pin the input shardings the real pipeline establishes (batch over
+        # 'data' at prepare_latents, params replicated) so the collectives in
+        # the program are the designed ones, not XLA improvising over
+        # unsharded inputs.
+        with use_mesh(mesh):
+            sh = lambda *spec: NamedSharding(mesh, P(*spec))
+            in_sh = (jax.tree_util.tree_map(lambda _: sh(), pipe.params),
+                     sh('data', None, None, None), sh('data'),
+                     sh('data', None, None))
+            return (jax.jit(unet_step, in_shardings=in_sh)
+                    .lower(pipe.params, latents, t, ctx)
+                    .compile().as_text())
+
+    # dp-only: batch-sharded, everything device-local — no halo exchange
+    hlo_dp = compiled_hlo(make_mesh(dp=8, tp=1, sp=1))
+    assert 'collective-permute' not in hlo_dp
+
+    # dp×tp: head-sharded attention needs gathers between the replicated
+    # feature maps and the head-sharded QKV
+    hlo_tp = compiled_hlo(make_mesh(dp=4, tp=2, sp=1))
+    assert 'all-gather' in hlo_tp
+
+    # dp×tp×sp: spatial sharding adds the 3×3-conv halo exchange, anchored
+    # at the conv ops (not an incidental reshard)
+    hlo_sp = compiled_hlo(make_mesh(dp=2, tp=2, sp=2))
+    assert 'all-gather' in hlo_sp
+    halo_lines = [ln for ln in hlo_sp.splitlines()
+                  if 'collective-permute' in ln and 'conv' in ln]
+    assert halo_lines, 'no conv halo exchange in the sp SPMD program'
