@@ -149,6 +149,51 @@ def measure_device_time(one_call, reps: int = 1):
         return None
 
 
+def kernel_parity_preflight():
+    """Re-prove capture-kernel numerics on this chip before timing anything.
+
+    Runs ``cross_attention_acc`` at the SD2.1-512² finest capture shape
+    (B=1, H=5, 4096 queries, 77 keys, hd=64, bf16) and compares the
+    in-kernel Pᵀ accumulator against the fp32 jnp softmax reference — the
+    same check as ``scripts/validate_acc_kernel_tpu.py``, folded in so every
+    bench round records fresh parity evidence (``kernel_parity`` in the JSON
+    line).  Returns {'max_abs_err', 'spearman', 'ok'} or None if the kernel
+    path is unavailable (e.g. CPU backend)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        from daam_tpu.ops.attention import attention_probs_reference
+        from daam_tpu.ops.pallas_attention import (cross_acc_shape,
+                                                   cross_attention_acc)
+
+        B, H, Lq, Lk, hd = 1, 5, 4096, 77, 64
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(B, H, Lq, hd), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(B, H, Lk, hd), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(B, H, Lk, hd), jnp.bfloat16)
+        acc0 = jnp.zeros(cross_acc_shape(B, H, Lq, Lk), jnp.float32)
+        _, acc1 = cross_attention_acc(q, k, v, acc0)
+        ref_pt = np.transpose(
+            np.asarray(attention_probs_reference(q, k), np.float32),
+            (0, 1, 3, 2))
+        got = np.asarray(acc1[:, :, :Lk, :Lq])
+        err = float(np.abs(got - ref_pt).max())
+        try:
+            from scipy.stats import spearmanr
+            rho = float(spearmanr(got.ravel(), ref_pt.ravel()).statistic)
+        except Exception:  # scipy optional: rank-correlate by hand
+            a = np.argsort(np.argsort(got.ravel()))
+            b = np.argsort(np.argsort(ref_pt.ravel()))
+            rho = float(np.corrcoef(a, b)[0, 1])
+        return {'max_abs_err': round(err, 9), 'spearman': round(rho, 6),
+                'ok': bool(err < 5e-3 and rho > 0.99)}
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f'[bench] kernel-parity preflight unavailable: {e}',
+              file=sys.stderr)
+        return None
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--model', default='xl-base-1.0')
@@ -186,6 +231,7 @@ def main(argv=None):
     prompt = 'A dog runs across the field'
 
     n_chips = jax.device_count()
+    kernel_parity = kernel_parity_preflight()
     relay_rtt = measure_relay_rtt()
     want_dev = not args.no_device_time
     t_untraced, d_untraced = run_config(pipe, prompt, args.steps, args.batch,
@@ -218,6 +264,7 @@ def main(argv=None):
         'device_s_per_call': None if d_traced is None else round(d_traced, 4),
         'relay_rtt_s': round(relay_rtt, 4),
         'relay_suspect': relay_suspect,
+        'kernel_parity': kernel_parity,
     }))
     # Supplementary details on stderr (driver reads only the stdout line).
     dev_msg = ('' if d_traced is None or d_untraced is None else

@@ -28,6 +28,26 @@ __all__ = ['self_attention', 'cross_attention', 'attention_probs_reference',
 # Kernel dispatch mode: 'auto' | 'jnp' | 'pallas'.  Tests flip this.
 _KERNEL_MODE = 'auto'
 
+# Odd head counts through the packed path (one zero ghost head padded at the
+# weight level).  Numerically exact but measured SLOWER than the head-major
+# fallback on the real chip (scripts/probe_ghost_head.py, v2-1-base UNet step,
+# HLO device self-time: packed 17.17 ms vs fallback 16.95 ms, -0.22 ms/step) —
+# the ghost head's sixth 64-lane slice buys back less than the relayout
+# copies cost on a 5-head level.  Off by default; kept opt-in for the probe
+# and for future geometries where the trade may flip.
+import os as _os
+
+_ODD_PACKED = _os.environ.get('DAAM_ODD_PACKED', '') == '1'
+
+
+def set_odd_packed(enabled: bool):
+    global _ODD_PACKED
+    _ODD_PACKED = bool(enabled)
+
+
+def get_odd_packed() -> bool:
+    return _ODD_PACKED
+
 
 def set_kernel_mode(mode: str):
     global _KERNEL_MODE
@@ -85,14 +105,16 @@ def packed_eligible(heads: int, head_dim: int, q_len: int, k_len: int,
     read the (B, L, H·hd) projection layout directly — two 64-wide heads per
     128-lane block — eliminating the four (B,L,H,hd)↔(B,H,L,hd) relayout
     copies per attention (4.2 ms/step on the SDXL UNet).  Requires hd == 64,
-    the Pallas path, and (for cross-attention) a capture mode the packed
-    accumulator kernel implements.  Odd head counts (SD2.1's 5-head level)
-    run with one ghost head padded at the *weight* level — the projection
-    kernels gain 64 zero columns so the matmul writes the even-head packed
-    layout directly, with no activation pad/slice copies (see
-    :func:`packed_ghost_heads` and ``models.unet.PadDense``).
+    an even head count (or the :func:`set_odd_packed` opt-in — odd counts
+    *can* run packed via one weight-level ghost head, see
+    :func:`packed_ghost_heads` / ``models.unet.PadDense``, but measured
+    slower on chip than the head-major fallback; module comment above), the
+    Pallas path, and (for cross-attention) a capture mode the packed
+    accumulator kernel implements.
     """
     if head_dim != 64:
+        return False
+    if heads % 2 and not _ODD_PACKED:
         return False
     if replay:
         return False

@@ -379,6 +379,8 @@ def test_unet_attention_module_odd_heads_packed_matches_jnp():
     ctx = jnp.asarray(rng.randn(B2, Lk, cdim).astype(np.float32))
 
     mode = A.get_kernel_mode()
+    odd = A.get_odd_packed()
+    A.set_odd_packed(True)  # ghost-head packing is opt-in since the probe
     try:
         A.set_kernel_mode('jnp')
         self_mod = Attention(heads=H, dim=dim, is_cross=False)
@@ -400,6 +402,7 @@ def test_unet_attention_module_odd_heads_packed_matches_jnp():
                                             acc=acc_p)
     finally:
         A.set_kernel_mode(mode)
+        A.set_odd_packed(odd)
 
     np.testing.assert_allclose(np.asarray(out_self_p), np.asarray(out_self_j),
                                rtol=2e-3, atol=2e-3)
@@ -421,8 +424,16 @@ def test_packed_eligible_gating():
         A.set_kernel_mode('pallas')
         assert A.packed_eligible(10, 64, 4096, 4096)
         assert A.packed_eligible(10, 64, 4096, 77, capture='acc')
-        # odd heads run packed with one ghost head (round 5)
-        assert A.packed_eligible(5, 64, 4096, 4096)
+        # odd heads fall back head-major by default (ghost-head packing
+        # measured slower on chip, scripts/probe_ghost_head.py) but remain
+        # available behind the opt-in
+        assert not A.packed_eligible(5, 64, 4096, 4096)
+        odd = A.get_odd_packed()
+        try:
+            A.set_odd_packed(True)
+            assert A.packed_eligible(5, 64, 4096, 4096)
+        finally:
+            A.set_odd_packed(odd)
         assert A.packed_ghost_heads(5) == 1 and A.packed_ghost_heads(10) == 0
         assert not A.packed_eligible(8, 40, 4096, 4096)          # hd != 64
         assert not A.packed_eligible(10, 64, 4096, 77, capture='full')

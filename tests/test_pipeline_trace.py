@@ -229,6 +229,8 @@ def test_traced_generation_odd_heads_packed_matches_jnp():
             return np.asarray(tc.compute_global_heat_map().heat_maps)
 
     mode = A.get_kernel_mode()
+    odd = A.get_odd_packed()
+    A.set_odd_packed(True)  # opt-in since the negative probe (ROADMAP r5)
     try:
         A.set_kernel_mode('jnp')
         maps_jnp = run()
@@ -236,6 +238,7 @@ def test_traced_generation_odd_heads_packed_matches_jnp():
         maps_pallas = run()
     finally:
         A.set_kernel_mode(mode)
+        A.set_odd_packed(odd)
 
     assert maps_pallas.shape == maps_jnp.shape
     assert np.isfinite(maps_pallas).all()
