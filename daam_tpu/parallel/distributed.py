@@ -15,6 +15,16 @@ coordinator/process ids automatically on Cloud TPU)::
     mesh = make_global_mesh(tp=2)            # dp = total_chips // 2
     out = generate_batch(pipe, prompts, mesh=mesh)
 
+This exact flow is exercised in CI across REAL process boundaries:
+``tests/test_multiprocess.py`` launches two OS processes (4 virtual CPU
+devices each), connects them through ``jax.distributed.initialize`` with
+Gloo cross-process collectives (the CPU stand-in for DCN), and runs traced
+``generate_batch`` over the resulting 8-device global mesh — images match a
+single-process run bit-for-bit and heat maps to fp32 rounding, on both
+hosts.  Host fetches of process-spanning arrays go through
+:func:`daam_tpu.parallel.fetch_global` (images, replay buffers, aggregated
+heat maps), which all-gathers across processes only when actually needed.
+
 Design notes (SURVEY.md §5 "distributed communication backend"):
 
 * The reference has no distributed story (single ``cuda``-or-``cpu`` device,

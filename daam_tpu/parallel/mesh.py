@@ -23,7 +23,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = ['make_mesh', 'use_mesh', 'get_active_mesh', 'constraint',
-           'replicate_params', 'generate_batch']
+           'replicate_params', 'generate_batch', 'fetch_global']
 
 _ACTIVE_MESH = None
 
@@ -93,6 +93,24 @@ def constraint(x, *spec):
     cleaned = PartitionSpec(*(keep(s) for s in spec))
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, cleaned))
+
+
+def fetch_global(x):
+    """``np.asarray(x)`` that also works for arrays spanning processes.
+
+    Single-process (the common case, including the virtual 8-device mesh)
+    this is exactly ``np.asarray``.  Under a multi-process runtime
+    (``init_distributed``), arrays sharded over a global mesh span devices
+    this process cannot address, so the host fetch all-gathers across
+    processes first — the "final image gather" of the multi-host design
+    (module docstring above; every process must call this collectively,
+    which holds because all processes run the same pipeline code)."""
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
 
 
 def replicate_params(params, mesh):

@@ -23,6 +23,7 @@ import numpy as np
 import PIL.Image
 
 from ..models.clip import CLIPTextEncoder
+from ..parallel.mesh import fetch_global
 from ..models.configs import PipelineConfig, get_pipeline_config
 from ..models.unet import UNet2DConditionModel, cross_attention_layout
 from ..models.vae import AutoencoderKL
@@ -47,7 +48,7 @@ class _ModuleShim:
 
 
 def _to_pil(images: np.ndarray) -> List[PIL.Image.Image]:
-    images = np.asarray(images)
+    images = fetch_global(images)
     if images.dtype != np.uint8:
         images = np.clip(images * 255 + 0.5, 0, 255).astype(np.uint8)
     return [PIL.Image.fromarray(im) for im in images]
@@ -402,9 +403,9 @@ class StableDiffusionPipeline:
                         if saved_lists is None:
                             saved_lists = {n: [] for n in ys}
                         for n, arr in ys.items():
-                            saved_lists[n].append(np.asarray(arr))  # to host
+                            saved_lists[n].append(fetch_global(arr))  # to host
                     if snapshot_accs:
-                        snaps.append({f: np.asarray(b) for f, b in
+                        snaps.append({f: fetch_global(b) for f, b in
                                       jit_snap(carry[2], prev_accs).items()})
                         prev_accs = carry[2]
                     if step_callback is not None:
@@ -597,7 +598,7 @@ class StableDiffusionPipeline:
         if output_type == 'pil':
             pil_images = _to_pil(_quantize_u8(images))
         else:  # 'np': float arrays in [0, 1] (reference/diffusers contract)
-            pil_images = list(np.asarray(images))
+            pil_images = list(fetch_global(images))
         pil_images, nsfw_flags = self.run_safety_checker(pil_images, prompts)
 
         if tr is not None:

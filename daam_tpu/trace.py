@@ -274,8 +274,9 @@ class DiffusionHeatMapHooker(AggregateHooker):
         once per generation)."""
         saved = self.replay_buffer(0)
         arrays = {}
+        from .parallel.mesh import fetch_global
         for name, arr in saved.items():
-            arr = np.asarray(arr)
+            arr = fetch_global(arr)
             arrays[name] = arr if arr.dtype == np.float32 \
                 else arr.astype(np.float16)
         (np.savez_compressed if compress else np.savez)(path, **arrays)
@@ -380,8 +381,16 @@ class DiffusionHeatMapHooker(AggregateHooker):
 
             self._agg_cache[agg_key] = jax.jit(aggregate)
 
-        return self._agg_cache[agg_key](
+        out = self._agg_cache[agg_key](
             {f: source[f] for f, _ in plan}, batch_idx)
+        if not getattr(out, 'is_fully_addressable', True):
+            # multi-process runtime: the accumulators shard with the batch,
+            # so the aggregated map may live partly on other hosts — gather
+            # it so every process can query every sample (the one collective
+            # the capture path adds when scaled out; parallel/mesh.py).
+            from .parallel.mesh import fetch_global
+            out = jnp.asarray(fetch_global(out))
+        return out
 
     def compute_global_heat_map(self, prompt: Optional[str] = None,
                                 factors=None, head_idx: Optional[int] = None,

@@ -1,0 +1,126 @@
+"""TRUE multi-process distributed tests (2 OS processes × 4 virtual devices).
+
+``test_distributed.py`` covers the single-process semantics of
+``init_distributed``/``make_global_mesh``; this module launches two REAL
+child processes that connect through ``jax.distributed.initialize`` (local
+coordinator, Gloo cross-process collectives — the CPU stand-in for DCN) and
+drive the full documented pod-launch flow: handshake → global mesh → traced
+``generate_batch`` → every-host image/heat-map gather.  The children's
+outputs must match a single-process run bit-for-bit (images) and to fp32
+rounding (heat maps) — the same equivalence bar as the virtual-mesh tests in
+test_parallel.py.
+
+The reference has no distributed story at all (single ``cuda``-or-``cpu``
+device, ``daam/utils.py:22-29``); this validates the TPU-native scale-out
+path end to end across actual process boundaries.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+CHILD = Path(__file__).resolve().parent / 'mp_child.py'
+NUM_PROCS = 2
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        return s.getsockname()[1]
+
+
+def _child_env() -> dict:
+    env = os.environ.copy()
+    # Children must boot a plain CPU JAX: no axon TPU plugin (its PJRT
+    # registration would claim the backend before jax.distributed can
+    # initialize) and 4 virtual devices per process.
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+    env['PYTHONPATH'] = str(REPO) + os.pathsep + env.get('PYTHONPATH', '')
+    return env
+
+
+@pytest.fixture(scope='module')
+def mp_outputs(tmp_path_factory):
+    """Run the 2-process generation once; children write npy outputs."""
+    outdir = tmp_path_factory.mktemp('mp')
+    port = _free_port()
+    env = _child_env()
+    procs = [subprocess.Popen(
+                 [sys.executable, str(CHILD), str(pid), str(NUM_PROCS),
+                  str(port), str(outdir)],
+                 env=env, cwd=str(REPO),
+                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+             for pid in range(NUM_PROCS)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail('multi-process children timed out')
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f'child failed:\n{out[-4000:]}'
+    for pid in range(NUM_PROCS):
+        assert (outdir / f'ok.{pid}').exists(), f'child {pid} missing ok marker'
+    return outdir
+
+
+@pytest.fixture(scope='module')
+def single_process_truth():
+    """Ground truth from THIS process (conftest's 8-device virtual mesh)."""
+    from daam_tpu import set_seed, trace
+    from daam_tpu.pipeline.sd import StableDiffusionPipeline
+
+    pipe = StableDiffusionPipeline.from_pretrained('tiny', scheduler='ddim')
+    prompts = ['a dog runs', 'a cat sits', 'a bird flies', 'a fish swims']
+    with trace(pipe) as tc:
+        out = pipe(prompts, num_inference_steps=2, generator=set_seed(0))
+        maps = {i: np.asarray(tc.compute_global_heat_map(batch_idx=i).heat_maps)
+                for i in (0, 3)}
+    imgs = {i: np.array(out.images[i], dtype=np.float32) for i in (0, 3)}
+    return imgs, maps
+
+
+def test_children_agree_with_each_other(mp_outputs):
+    """Both processes must observe the same global result (the every-host
+    gather), not just their local shards."""
+    for name in ('img0', 'img3', 'maps0', 'maps3'):
+        a = np.load(mp_outputs / f'{name}.0.npy')
+        b = np.load(mp_outputs / f'{name}.1.npy')
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_multiprocess_matches_single_process(mp_outputs, single_process_truth):
+    imgs, maps = single_process_truth
+    for i in (0, 3):
+        got_img = np.load(mp_outputs / f'img{i}.0.npy')
+        diff = np.abs(imgs[i] - got_img)
+        assert diff.max() <= 2.0, f'image {i} max diff {diff.max()}'
+        assert diff.mean() < 0.05
+        got_maps = np.load(mp_outputs / f'maps{i}.0.npy')
+        np.testing.assert_allclose(maps[i], got_maps, rtol=1e-2, atol=1e-3,
+                                   err_msg=f'heat maps sample {i}')
+
+
+def test_fetch_global_single_process_is_plain_asarray():
+    """fetch_global must be a zero-cost np.asarray in the common case."""
+    import jax.numpy as jnp
+
+    from daam_tpu.parallel import fetch_global
+
+    x = jnp.arange(6.0).reshape(2, 3)
+    out = fetch_global(x)
+    assert isinstance(out, np.ndarray)
+    np.testing.assert_array_equal(out, np.arange(6.0).reshape(2, 3))
+    # numpy passes straight through too
+    np.testing.assert_array_equal(fetch_global(np.ones(3)), np.ones(3))
