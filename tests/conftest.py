@@ -91,6 +91,10 @@ _FULL_TIER = (
     'test_notebooks.py::test_notebook_2_visuosemantic',
     'test_heads_io.py::test_save_heads_chunked_matches_single_chunk',
     'test_distributed.py::test_make_global_mesh_generates',
+    # 2-OS-process transplant: four fresh traced compiles across two child
+    # processes (~3 min); the fast tier keeps true-multiprocess coverage via
+    # the plain-generation children in the same module.
+    'test_multiprocess.py::test_multiprocess_save_load_heads_transplant',
 )
 
 

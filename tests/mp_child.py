@@ -18,7 +18,41 @@ import sys
 from pathlib import Path
 
 
-def main(pid: int, num_processes: int, port: str, outdir: str) -> None:
+def _transplant(mesh, outdir: Path, pid: int) -> None:
+    """save_heads → load_heads replay across processes: the replay buffer is
+    staged to host through ``fetch_global`` (each process holds the FULL
+    global buffer, not just its local batch shards), then re-fed to the
+    sharded replay program.  Same-seed replay must reproduce the original
+    images exactly (the demo's transplant contract,
+    test_parallel_transplant.py, here across real process boundaries)."""
+    import numpy as np
+
+    from daam_tpu import trace
+    from daam_tpu.parallel import generate_batch
+    from daam_tpu.pipeline.sd import StableDiffusionPipeline
+
+    pipe = StableDiffusionPipeline.from_pretrained('tiny', scheduler='ddim')
+    prompts = ['a dog runs', 'a cat sits', 'a bird flies', 'a fish swims']
+    # persist_heads=False: both processes would race writing the same
+    # cache-dir .npz; the in-process registry is all the replay needs here.
+    with trace(pipe, save_heads=True, data_dir='mp-transplant',
+               persist_heads=False):
+        out1 = generate_batch(pipe, prompts, mesh=mesh,
+                              num_inference_steps=2, seed=0)
+    with trace(pipe, load_heads=True, data_dir='mp-transplant',
+               persist_heads=False):
+        out2 = generate_batch(pipe, prompts, mesh=mesh,
+                              num_inference_steps=2, seed=0)
+    for a, b in zip(out1.images, out2.images):
+        np.testing.assert_allclose(np.array(a, np.float32),
+                                   np.array(b, np.float32), atol=2.0)
+    np.save(outdir / f'tr_img0.{pid}.npy',
+            np.array(out1.images[0], dtype=np.float32))
+    (outdir / f'ok.{pid}').touch()
+
+
+def main(pid: int, num_processes: int, port: str, outdir: str,
+         mode: str = 'generate') -> None:
     from daam_tpu.parallel import (init_distributed, make_global_mesh,
                                    generate_batch, is_multi_process)
 
@@ -42,6 +76,10 @@ def main(pid: int, num_processes: int, port: str, outdir: str) -> None:
     for row in np.asarray(mesh.devices):
         procs = {d.process_index for d in row.ravel()}
         assert len(procs) == 1, f'tp group spans processes: {procs}'
+
+    if mode == 'transplant':
+        _transplant(mesh, Path(outdir), pid)
+        return
 
     from daam_tpu import trace
     from daam_tpu.pipeline.sd import StableDiffusionPipeline
@@ -71,4 +109,5 @@ def main(pid: int, num_processes: int, port: str, outdir: str) -> None:
 
 
 if __name__ == '__main__':
-    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+         sys.argv[5] if len(sys.argv) > 5 else 'generate')

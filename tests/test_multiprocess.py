@@ -47,22 +47,20 @@ def _child_env() -> dict:
     return env
 
 
-@pytest.fixture(scope='module')
-def mp_outputs(tmp_path_factory):
-    """Run the 2-process generation once; children write npy outputs."""
-    outdir = tmp_path_factory.mktemp('mp')
+def _run_children(outdir, mode='generate', timeout=420):
+    """Launch NUM_PROCS children, wait, assert all succeeded."""
     port = _free_port()
     env = _child_env()
     procs = [subprocess.Popen(
                  [sys.executable, str(CHILD), str(pid), str(NUM_PROCS),
-                  str(port), str(outdir)],
+                  str(port), str(outdir), mode],
                  env=env, cwd=str(REPO),
                  stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
              for pid in range(NUM_PROCS)]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -73,6 +71,12 @@ def mp_outputs(tmp_path_factory):
     for pid in range(NUM_PROCS):
         assert (outdir / f'ok.{pid}').exists(), f'child {pid} missing ok marker'
     return outdir
+
+
+@pytest.fixture(scope='module')
+def mp_outputs(tmp_path_factory):
+    """Run the 2-process generation once; children write npy outputs."""
+    return _run_children(tmp_path_factory.mktemp('mp'))
 
 
 @pytest.fixture(scope='module')
@@ -110,6 +114,18 @@ def test_multiprocess_matches_single_process(mp_outputs, single_process_truth):
         got_maps = np.load(mp_outputs / f'maps{i}.0.npy')
         np.testing.assert_allclose(maps[i], got_maps, rtol=1e-2, atol=1e-3,
                                    err_msg=f'heat maps sample {i}')
+
+
+def test_multiprocess_save_load_heads_transplant(tmp_path):
+    """save_heads → load_heads replay across REAL process boundaries (full
+    tier): the replay buffer is staged to host via fetch_global (every
+    process holds the full global buffer) and re-fed to the sharded replay
+    program; same-seed replay reproduces the originals in-child, and both
+    children must agree with each other."""
+    outdir = _run_children(tmp_path, mode='transplant', timeout=600)
+    a = np.load(outdir / 'tr_img0.0.npy')
+    b = np.load(outdir / 'tr_img0.1.npy')
+    np.testing.assert_array_equal(a, b)
 
 
 def test_fetch_global_single_process_is_plain_asarray():
