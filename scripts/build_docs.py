@@ -45,6 +45,7 @@ MODULES = [
     'daam_tpu.pipeline.schedulers',
     'daam_tpu.parallel.mesh',
     'daam_tpu.parallel.distributed',
+    'daam_tpu.parallel.analysis',
     'daam_tpu.native.bpe_binding',
     'daam_tpu.run.generate',
     'daam_tpu.run.evaluate',
