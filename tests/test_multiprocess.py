@@ -47,8 +47,9 @@ def _child_env() -> dict:
     return env
 
 
-def _run_children(outdir, mode='generate', timeout=420):
-    """Launch NUM_PROCS children, wait, assert all succeeded."""
+def _run_children_once(outdir, mode, timeout):
+    """Launch NUM_PROCS children, wait; return None on success else a
+    failure description."""
     port = _free_port()
     env = _child_env()
     procs = [subprocess.Popen(
@@ -65,11 +66,28 @@ def _run_children(outdir, mode='generate', timeout=420):
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        pytest.fail('multi-process children timed out')
+        return 'multi-process children timed out'
     for p, out in zip(procs, outs):
-        assert p.returncode == 0, f'child failed:\n{out[-4000:]}'
+        if p.returncode != 0:
+            return f'child failed (rc={p.returncode}):\n{out[-4000:]}'
     for pid in range(NUM_PROCS):
-        assert (outdir / f'ok.{pid}').exists(), f'child {pid} missing ok marker'
+        if not (outdir / f'ok.{pid}').exists():
+            return f'child {pid} missing ok marker'
+    return None
+
+
+def _run_children(outdir, mode='generate', timeout=420):
+    """Launch NUM_PROCS children, assert all succeeded.  One retry: the
+    coordinator handshake + double JAX boot occasionally loses the race on
+    this 1-core host when the suite runs under memory pressure — a second
+    attempt distinguishes environmental flake from a real regression."""
+    failure = _run_children_once(outdir, mode, timeout)
+    if failure is not None:
+        for pid in range(NUM_PROCS):
+            (outdir / f'ok.{pid}').unlink(missing_ok=True)
+        retry = _run_children_once(outdir, mode, timeout)
+        if retry is not None:
+            pytest.fail(f'first attempt: {failure}\nretry: {retry}')
     return outdir
 
 
