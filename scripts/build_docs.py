@@ -105,7 +105,14 @@ def render_module(name: str) -> str:
                          f'<code>{attr}{_sig(obj)}</code></h2>'
                          f'<div class="doc">{_doc(obj)}</div>')
             for m_name, m in inspect.getmembers(obj):
-                if m_name.startswith('_') or not callable(m):
+                if m_name.startswith('_'):
+                    continue
+                if isinstance(m, property):
+                    parts.append(
+                        f'<code class="sig">{attr}.{m_name}</code> '
+                        f'<span class="kind">property</span>'
+                        f'<div class="doc">{_doc(m.fget) if m.fget else ""}'
+                        f'</div>')
                     continue
                 if not (inspect.isfunction(m) or inspect.ismethod(m)):
                     continue
