@@ -15,7 +15,9 @@ device, ``daam/utils.py:22-29``); this validates the TPU-native scale-out
 path end to end across actual process boundaries.
 """
 
+import ctypes
 import os
+import signal
 import socket
 import subprocess
 import sys
@@ -47,6 +49,19 @@ def _child_env() -> dict:
     return env
 
 
+def _die_with_parent():
+    """Child preexec hook: deliver SIGKILL to the child if the launching
+    pytest process dies (PR_SET_PDEATHSIG).  Without this, a killed/timed-out
+    suite run orphans two JAX children that keep pinning the (single) CPU and
+    starve the NEXT run's handshake into its timeout — observed exactly once,
+    self-inflicted, and this removes the failure mode.  Linux-only; silently
+    a no-op elsewhere."""
+    try:
+        ctypes.CDLL('libc.so.6').prctl(1, signal.SIGKILL)  # 1 = PR_SET_PDEATHSIG
+    except Exception:
+        pass
+
+
 def _run_children_once(outdir, mode, timeout):
     """Launch NUM_PROCS children, wait; return None on success else a
     failure description."""
@@ -56,6 +71,8 @@ def _run_children_once(outdir, mode, timeout):
                  [sys.executable, str(CHILD), str(pid), str(NUM_PROCS),
                   str(port), str(outdir), mode],
                  env=env, cwd=str(REPO),
+                 preexec_fn=_die_with_parent if sys.platform.startswith(
+                     'linux') else None,
                  stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
              for pid in range(NUM_PROCS)]
     outs = []
@@ -76,7 +93,7 @@ def _run_children_once(outdir, mode, timeout):
     return None
 
 
-def _run_children(outdir, mode='generate', timeout=420):
+def _run_children(outdir, mode='generate', timeout=600):
     """Launch NUM_PROCS children, assert all succeeded.  One retry: the
     coordinator handshake + double JAX boot occasionally loses the race on
     this 1-core host when the suite runs under memory pressure — a second
